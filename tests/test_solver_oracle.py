@@ -1,0 +1,177 @@
+"""SQP vs trusted-solver oracle tests (SURVEY.md §4: the oracle is the
+reference *formulation* solved by an off-the-shelf NLP solver — scipy SLSQP
+here, standing in for IPOPT — on the identical flat NLP: decision layout of
+``ModelGenerator.cpp:61-112``, cost of ``:214-221``, constraints of ``:206``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import NonlinearConstraint, minimize
+
+from mahi_mpc_tpu import ModelParameters, SolverOptions
+from mahi_mpc_tpu.models import make_double_pendulum, make_pendulum
+from mahi_mpc_tpu.solver import CONVERGED, solve
+from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
+
+jax.config.update("jax_enable_x64", True)
+
+
+def scipy_solve(prob, p, v0=None):
+    """Solve the identical NLP with scipy SLSQP using JAX gradients."""
+    cost_v = jax.jit(lambda v: prob.cost(*prob.unpack_v(v), p))
+    grad_v = jax.jit(jax.grad(lambda v: prob.cost(*prob.unpack_v(v), p)))
+    con_v = jax.jit(lambda v: prob.defects(*prob.unpack_v(v), p).reshape(-1))
+    jac_v = jax.jit(jax.jacrev(lambda v: prob.defects(*prob.unpack_v(v), p).reshape(-1)))
+    lo, hi = prob.bounds_v(p)
+    lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+    if v0 is None:
+        # Feasible start: open-loop rollout under mid-box (or zero) controls.
+        u0 = np.where(np.isfinite(lo) & np.isfinite(hi), 0.5 * (lo + hi), 0.0)
+        _, U_lo = prob.unpack_v(jnp.array(u0))
+        X_roll = prob.rollout(p.x0, jnp.array(U_lo), p)
+        v0 = np.asarray(prob.pack_v(X_roll, jnp.array(U_lo)), np.float64)
+        v0 = np.clip(v0, lo, hi)
+    res = minimize(
+        lambda v: float(cost_v(jnp.array(v))),
+        v0,
+        jac=lambda v: np.asarray(grad_v(jnp.array(v)), np.float64),
+        bounds=list(zip(lo, hi)),
+        constraints=[{
+            "type": "eq",
+            "fun": lambda v: np.asarray(con_v(jnp.array(v)), np.float64),
+            "jac": lambda v: np.asarray(jac_v(jnp.array(v)), np.float64),
+        }],
+        method="SLSQP",
+        options={"maxiter": 400, "ftol": 1e-12},
+    )
+    # status 8 = "positive directional derivative for linesearch": SLSQP's
+    # standard near-optimum stall; accept it when the iterate is feasible
+    # (the trajectory/objective comparisons in each test still validate it).
+    feas = float(np.max(np.abs(np.asarray(con_v(jnp.array(res.x))))))
+    assert res.success or (res.status == 8 and feas < 1e-7), (res.message, feas)
+    return prob.unpack_v(jnp.array(res.x))
+
+
+def _tracking_params(mp, prob, amp=0.5, freq=1.0, u_prev=None):
+    """Sinusoid reference per node — the shape used by the reference examples
+    (model_control_example.cpp:60-68)."""
+    N, nx = mp.num_shooting_nodes, mp.num_x
+    t = np.arange(N) * mp.step_size
+    half = nx // 2
+    x_des = np.zeros((N, nx))
+    for j in range(half):
+        sgn = 1.0 if j % 2 == 0 else -1.0
+        x_des[:, j] = sgn * amp * np.sin(2 * np.pi * freq * t)
+        x_des[:, half + j] = sgn * amp * 2 * np.pi * freq * np.cos(2 * np.pi * freq * t)
+    p = default_params(mp, dtype=jnp.float64)
+    return p._replace(x_des=jnp.array(x_des),
+                      q=jnp.array([10.0, 1.0, 5.0, 5.0][:nx]),
+                      r=jnp.array([5.0] * mp.num_u),
+                      rm=jnp.array([0.1] * mp.num_u),
+                      u_prev=jnp.zeros(mp.num_u) if u_prev is None else jnp.array(u_prev))
+
+
+def test_double_pendulum_unbounded_matches_slsqp():
+    """Config-#1-style unbounded tracking: pure equality-constrained SQP."""
+    mp = ModelParameters("dp", num_x=4, num_u=2, step_size=0.02,
+                         num_shooting_nodes=20)
+    prob = make_problem(mp, make_double_pendulum())
+    p = _tracking_params(mp, prob)
+    p = p._replace(x0=jnp.array([0.1, -0.05, 0.0, 0.0]))
+
+    res = solve(prob, p, opts=SolverOptions(tol=1e-8, max_iter=60,
+                                            kkt_backend="riccati"))
+    assert int(res.status) == CONVERGED, (res.status, res.kkt, res.feas)
+    assert float(res.feas) < 1e-8
+
+    Xs, Us = scipy_solve(prob, p)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(Us),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.X), np.asarray(Xs),
+                               atol=1e-3, rtol=1e-3)
+    # objective parity should be much tighter than trajectory parity
+    J_ours = float(prob.cost(res.X, res.U, p))
+    J_ref = float(prob.cost(Xs, Us, p))
+    assert abs(J_ours - J_ref) <= 1e-6 * max(1.0, abs(J_ref))
+
+
+def test_double_pendulum_bounded_matches_slsqp():
+    """Active input bounds: exercises the barrier + fraction-to-boundary."""
+    mp = ModelParameters("dpb", num_x=4, num_u=2, step_size=0.02,
+                         num_shooting_nodes=20,
+                         u_min=[-4.0, -4.0], u_max=[4.0, 4.0])
+    prob = make_problem(mp, make_double_pendulum())
+    p = _tracking_params(mp, prob, amp=1.0)
+    p = p._replace(x0=jnp.array([0.3, -0.2, 0.0, 0.0]))
+
+    res = solve(prob, p, opts=SolverOptions(tol=1e-7, max_iter=120,
+                                            mu_min=1e-10))
+    assert int(res.status) == CONVERGED, (res.status, res.kkt, res.feas)
+    U = np.asarray(res.U)
+    assert np.all(U >= -4.0 - 1e-9) and np.all(U <= 4.0 + 1e-9)
+    # bounds must actually bind for this test to mean anything
+    assert np.any(np.abs(U) > 3.99), U
+
+    Xs, Us = scipy_solve(prob, p)
+    np.testing.assert_allclose(U, np.asarray(Us), atol=2e-3)
+    J_ours = float(prob.cost(res.X, res.U, p))
+    J_ref = float(prob.cost(Xs, Us, p))
+    assert J_ours <= J_ref + 1e-5 * max(1.0, abs(J_ref))
+
+
+def test_pendulum_swingup_bounded():
+    """Torque-limited pendulum swing-up to [pi, 0] (BASELINE config #1/#2
+    style).  scipy SLSQP may settle elsewhere on this nonconvex problem, so
+    the assertions are feasibility + bound satisfaction + goal reach."""
+    mp = ModelParameters("pend", num_x=2, num_u=1, step_size=0.05,
+                         num_shooting_nodes=60, u_min=[-6.0], u_max=[6.0])
+    prob = make_problem(mp, make_pendulum())
+    p = default_params(mp, dtype=jnp.float64)
+    x_des = np.tile([np.pi, 0.0], (60, 1))
+    p = p._replace(x_des=jnp.array(x_des), q=jnp.array([20.0, 1.0]),
+                   r=jnp.array([0.05]), rm=jnp.array([0.05]),
+                   x0=jnp.zeros(2))
+    res = solve(prob, p, opts=SolverOptions(tol=1e-6, max_iter=200))
+    assert int(res.status) == CONVERGED, (res.status, res.kkt, res.feas)
+    assert float(res.feas) < 1e-6
+    U = np.asarray(res.U)
+    assert np.all(np.abs(U) <= 6.0 + 1e-8)
+    # reaches the upright neighborhood by the end of the horizon
+    assert abs(float(res.X[-1, 0]) - np.pi) < 0.2, res.X[-5:]
+
+
+def test_linear_mode_matches_slsqp():
+    """Successive-linearization (C8): LTV dynamics frozen at the current
+    state; the NLP is a QP and must match the oracle tightly."""
+    mp = ModelParameters("dpl", num_x=4, num_u=2, step_size=0.02,
+                         num_shooting_nodes=15, is_linear=True)
+    dyn = make_double_pendulum()
+    prob = make_problem(mp, dyn)
+    p = _tracking_params(mp, prob)
+    x0 = jnp.array([0.2, 0.1, -0.1, 0.05])
+    u0 = jnp.array([0.5, -0.3])
+    A, B, xd0 = dyn.linearize(x0, u0)
+    from mahi_mpc_tpu.transcribe.shooting import LinPoint
+    p = p._replace(x0=x0, u_prev=u0, lin=LinPoint(A, B, xd0, x0, u0))
+
+    res = solve(prob, p, opts=SolverOptions(tol=1e-9, max_iter=30))
+    assert int(res.status) == CONVERGED
+    assert int(res.iters) <= 5  # affine dynamics + quadratic cost: ~1 Newton step
+    Xs, Us = scipy_solve(prob, p)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(Us), atol=1e-5)
+
+
+def test_warm_start_reduces_iterations():
+    """C7 parity: seeding with the previous optimum cuts iterations."""
+    mp = ModelParameters("dpw", num_x=4, num_u=2, step_size=0.02,
+                         num_shooting_nodes=20)
+    prob = make_problem(mp, make_double_pendulum())
+    p = _tracking_params(mp, prob)
+    p = p._replace(x0=jnp.array([0.1, -0.05, 0.0, 0.0]))
+    opts = SolverOptions(tol=1e-8, max_iter=60)
+    cold = solve(prob, p, opts=opts)
+    warm = solve(prob, p, X0=cold.X, U0=cold.U, opts=opts)
+    assert int(warm.iters) <= max(2, int(cold.iters) // 2)
+    np.testing.assert_allclose(np.asarray(warm.U), np.asarray(cold.U),
+                               atol=1e-6)
