@@ -21,6 +21,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import spd_solve_small
 from .base import Dynamics, register
 
 Array = jnp.ndarray
@@ -104,7 +105,10 @@ def make_serial_arm(name: str, links: List[LinkSpec],
     def f(x: Array, u: Array) -> Array:
         q, qd = x[:n], x[n:]
         M = mass_matrix(q)
-        qdd = jnp.linalg.solve(M, u - bias(q, qd) - joint_damping * qd)
+        # SPD mass matrix: unrolled Cholesky solve (ops/linalg.py) — keeps
+        # the dynamics free of LAPACK custom calls so it fuses on TPU and
+        # AOT-exports portably.
+        qdd = spd_solve_small(M, u - bias(q, qd) - joint_damping * qd)
         return jnp.concatenate([qd, qdd])
 
     dyn = Dynamics(name, nx=2 * n, nu=n, f=f)

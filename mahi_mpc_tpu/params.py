@@ -70,6 +70,11 @@ class ModelParameters:
     x_max: List[float] = dataclasses.field(default_factory=list)
     dll_filepath: str = ""
     integrator: str = "euler"  # "euler" (reference parity) or "rk4"
+    # Extension fields (absent in reference files): which registered dynamics
+    # family this model uses, so ModelControl can rebuild the solve when no
+    # compiled artifact is present (the reference instead dlopens the .so).
+    dynamics_name: str = ""
+    dynamics_kwargs: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         if not self.x_min:
@@ -120,8 +125,10 @@ class ModelParameters:
             "u_max": _to_sentinel(self.u_max),
             "dll_filepath": self.dll_filepath,
             "is_linear": self.is_linear,
-            # Extension field (absent in reference files; defaulted on load).
+            # Extension fields (absent in reference files; defaulted on load).
             "integrator": self.integrator,
+            "dynamics_name": self.dynamics_name,
+            "dynamics_kwargs": self.dynamics_kwargs,
         }
 
     @classmethod
@@ -139,6 +146,8 @@ class ModelParameters:
             x_max=_from_sentinel(j["x_max"]),
             dll_filepath=j.get("dll_filepath", ""),
             integrator=j.get("integrator", "euler"),
+            dynamics_name=j.get("dynamics_name", ""),
+            dynamics_kwargs=j.get("dynamics_kwargs", {}),
         )
         return p
 

@@ -19,6 +19,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import chol_small, cho_solve_small
 from .stage_qp import StageQP
 
 Array = jnp.ndarray
@@ -43,10 +44,12 @@ def solve_lqr_scan(qp: StageQP) -> LQRSolution:
         Quu = Huu + Bz.T @ P @ Bz
         qz = gz + Az.T @ Pr_p
         qu = gu + Bz.T @ Pr_p
-        # Solve the (nu x nu) SPD system via Cholesky.
-        L = jnp.linalg.cholesky(Quu)
-        K = -jax.scipy.linalg.cho_solve((L, True), Qzu.T)   # (nu, nz)
-        kff = -jax.scipy.linalg.cho_solve((L, True), qu)    # (nu,)
+        # Solve the (nu x nu) SPD system via unrolled Cholesky (pure
+        # elementwise graph — fuses into the scan body, no LAPACK custom
+        # call; see ops/linalg.py).
+        L = chol_small(Quu)
+        K = -cho_solve_small(L, Qzu.T)   # (nu, nz)
+        kff = -cho_solve_small(L, qu)    # (nu,)
         P_new = Qzz + Qzu @ K
         P_new = 0.5 * (P_new + P_new.T)
         p_new = qz + Qzu @ kff

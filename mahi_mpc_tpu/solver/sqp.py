@@ -47,6 +47,10 @@ class SolveResult(NamedTuple):
     obj: Array      # reference-form objective at the solution
 
 
+jax.export.register_namedtuple_serialization(
+    SolveResult, serialized_name="mahi_mpc_tpu.SolveResult")
+
+
 class _LoopState(NamedTuple):
     X: Array
     U: Array
@@ -96,7 +100,11 @@ def solve(prob: ShootingProblem, p: MPCParams,
 
     ls_alphas = 0.5 ** jnp.arange(opts.linesearch_steps, dtype=dtype)
     tol = jnp.asarray(opts.tol, dtype)
-    mu_min = jnp.asarray(opts.mu_min, dtype)
+    # Barrier floor: the barrier solution differs from the NLP solution by
+    # O(mu), so stopping once mu <= 0.1*tol (or the hard floor mu_min)
+    # delivers tol-accurate solutions without grinding mu to 1e-9 — the same
+    # coupling IPOPT uses (barrier stop tied to tol).
+    mu_min = jnp.asarray(jnp.maximum(opts.mu_min, 0.1 * opts.tol), dtype)
 
     def body(s: _LoopState) -> _LoopState:
         qp = build_stage_qp(prob, s.X, s.U, p, s.mu, s.reg)

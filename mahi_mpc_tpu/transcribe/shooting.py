@@ -64,6 +64,14 @@ class MPCParams(NamedTuple):
     lin: LinPoint  # linearization point (used only when is_linear)
 
 
+# Needed so AOT artifacts (runtime/generate.py) can serialize programs whose
+# signatures carry these pytrees.
+jax.export.register_namedtuple_serialization(
+    LinPoint, serialized_name="mahi_mpc_tpu.LinPoint")
+jax.export.register_namedtuple_serialization(
+    MPCParams, serialized_name="mahi_mpc_tpu.MPCParams")
+
+
 def default_params(mp: ModelParameters, dtype=jnp.float32) -> MPCParams:
     nx, nu, N = mp.num_x, mp.num_u, mp.num_shooting_nodes
     f32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.float64), dtype=dtype)

@@ -23,3 +23,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Deterministic regardless of test selection: several test modules need f64
+# oracles; runtime paths pass explicit float32 dtypes and are unaffected.
+jax.config.update("jax_enable_x64", True)
