@@ -1,0 +1,156 @@
+"""Device-mesh scenario-batch parallelism.
+
+The reference runs exactly one MPC instance per process with zero distributed
+execution (SURVEY.md §2.b); the TPU-native framework's data-parallel axis is
+the *scenario batch*: thousands of independent MPC instances (randomized
+initial states / goals / weights) solved simultaneously, sharded over a
+``jax.sharding.Mesh``.
+
+Mesh layout (BASELINE.json north star):
+
+- ``batch``: scenario instances — pure data parallelism, no collectives in
+  the solve itself (each instance's Riccati recursion is independent);
+  ICI/DCN only carry metrics reductions and initial scatter/final gather.
+- ``time``: reserved for horizon (sequence-parallel) sharding of the
+  parallel-scan Riccati backend for very long horizons (SURVEY.md §5
+  long-context analog).
+
+Everything is jit + NamedSharding: XLA inserts any needed collectives, and
+the same program runs on 1 chip, 1 host, or a multi-host pod slice
+unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import SolverOptions
+from ..solver.sqp import SolveResult, solve
+from ..transcribe.shooting import MPCParams, ShootingProblem
+
+Array = jnp.ndarray
+
+
+def make_mesh(n_batch: Optional[int] = None, n_time: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ``(batch, time)`` mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_batch is None:
+        n_batch = len(devices) // n_time
+    assert n_batch * n_time <= len(devices), (
+        f"mesh {n_batch}x{n_time} needs more than {len(devices)} devices")
+    dev_array = np.asarray(devices[: n_batch * n_time]).reshape(n_batch, n_time)
+    return Mesh(dev_array, axis_names=("batch", "time"))
+
+
+def batch_spec(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays with a leading scenario-batch axis."""
+    return NamedSharding(mesh, P("batch"))
+
+
+def _pad_to_multiple(a: Array, m: int) -> Array:
+    b = a.shape[0]
+    pad = (-b) % m
+    if pad == 0:
+        return a
+    # Repeat the last instance into the padding (keeps every padded instance
+    # a well-posed problem, so no NaN pollution from zero-size boxes).
+    fill = jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])
+    return jnp.concatenate([a, fill], axis=0)
+
+
+def shard_params(p_batch: MPCParams, mesh: Mesh) -> MPCParams:
+    """Place a batched MPCParams pytree with the batch axis sharded.
+    Batches not divisible by the mesh's batch axis are padded by repeating
+    the last instance (callers slice results back with the original size)."""
+    spec = batch_spec(mesh)
+    nb = mesh.shape["batch"]
+    return jax.tree.map(
+        lambda a: jax.device_put(_pad_to_multiple(a, nb), spec), p_batch)
+
+
+def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
+                        opts: SolverOptions = SolverOptions(),
+                        donate_warm_start: bool = True):
+    """Compile the batched solve with scenario-batch sharding.
+
+    Returns ``fn(p_batch, X0, U0) -> SolveResult`` where every leaf of the
+    inputs/outputs carries a leading batch axis sharded over the mesh's
+    ``batch`` axis.  Warm-start buffers are donated so the receding-horizon
+    loop updates plans in place on-device (SURVEY.md §5 checkpoint/resume:
+    warm-start buffers are device arrays donated between solves).
+    """
+    spec = batch_spec(mesh)
+
+    def step(p_batch: MPCParams, X0: Array, U0: Array) -> SolveResult:
+        return jax.vmap(lambda p, x, u: solve(prob, p, x, u, opts))(
+            p_batch, X0, U0)
+
+    in_shardings = (jax.tree.map(lambda _: spec, _params_struct(prob)),
+                    spec, spec)
+    out_shardings = jax.tree.map(lambda _: spec, _result_struct())
+    jitted = jax.jit(step,
+                     in_shardings=in_shardings,
+                     out_shardings=out_shardings,
+                     donate_argnums=(1, 2) if donate_warm_start else ())
+    nb = mesh.shape["batch"]
+
+    def run(p_batch: MPCParams, X0: Array, U0: Array) -> SolveResult:
+        b = X0.shape[0]
+        if b % nb:
+            p_batch = jax.tree.map(lambda a: _pad_to_multiple(a, nb), p_batch)
+            X0 = _pad_to_multiple(X0, nb)
+            U0 = _pad_to_multiple(U0, nb)
+            res = jitted(p_batch, X0, U0)
+            return jax.tree.map(lambda a: a[:b], res)
+        return jitted(p_batch, X0, U0)
+
+    return run
+
+
+def _params_struct(prob):
+    # Placeholder pytree with the same structure as MPCParams for tree_map.
+    from ..transcribe.shooting import LinPoint
+    z = 0
+    return MPCParams(x_des=z, q=z, r=z, rm=z, u_prev=z, x0=z,
+                     u_min=z, u_max=z, x_min=z, x_max=z,
+                     lin=LinPoint(z, z, z, z, z))
+
+
+def _result_struct():
+    return SolveResult(X=0, U=0, iters=0, status=0, kkt=0, feas=0, obj=0)
+
+
+def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
+                   mesh: Mesh, opts: SolverOptions = SolverOptions(),
+                   iters: int = 3) -> dict:
+    """Measure batched solves/s on this mesh (the BASELINE.json metric)."""
+    import time
+
+    n = jax.tree.leaves(p_batch)[0].shape[0]
+    dtype = jnp.dtype(opts.dtype)
+    X0 = jnp.zeros((n, prob.N + 1, prob.nx), dtype)
+    U0 = jnp.zeros((n, prob.N, prob.nu), dtype)
+    fn = make_sharded_solver(prob, mesh, opts, donate_warm_start=False)
+    p_batch = shard_params(p_batch, mesh)
+    res = fn(p_batch, X0, U0)
+    jax.block_until_ready(res)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = fn(p_batch, X0, U0)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "batch": n,
+        "devices": mesh.devices.size,
+        "wall_s_per_solve_batch": dt,
+        "solves_per_s": n / dt,
+        "solves_per_s_per_device": n / dt / mesh.devices.size,
+        "mean_iters": float(jnp.mean(res.iters)),
+        "converged_frac": float(jnp.mean((res.status == 0).astype(jnp.float32))),
+    }
