@@ -114,12 +114,12 @@ def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
 
 
 def _params_struct(prob):
-    # Placeholder pytree with the same structure as MPCParams for tree_map.
+    # Placeholder pytree with the same structure as MPCParams for tree_map
+    # (field-agnostic so schema extensions don't break it).
     from ..transcribe.shooting import LinPoint
-    z = 0
-    return MPCParams(x_des=z, q=z, r=z, rm=z, u_prev=z, x0=z,
-                     u_min=z, u_max=z, x_min=z, x_max=z,
-                     lin=LinPoint(z, z, z, z, z))
+    fields = {f: 0 for f in MPCParams._fields}
+    fields["lin"] = LinPoint(*([0] * len(LinPoint._fields)))
+    return MPCParams(**fields)
 
 
 def _result_struct():

@@ -118,11 +118,16 @@ def build_stage_qp(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
     Huu = (jnp.zeros((N, nu, nu), dtype)
            .at[:, udiag, udiag].set(twoR + twoRm + hu_b + reg))
 
-    # Terminal: tracking on x_N plus its barrier.
+    # Terminal: tracking on x_N, the extension terminal cost qf, and the
+    # terminal barrier.
     eN = X[-1] - p.x_des[-1]
+    eF = X[-1] - p.xf_des
+    twoQf = 2.0 * p.qf
     gN_b, hN_b = barrier_terms(X[-1], p.x_min, p.x_max, mu)
-    Hf = jnp.zeros((nz, nz), dtype).at[diag_idx, diag_idx].set(twoQ + hN_b)
-    gf = jnp.concatenate([twoQ * eN + gN_b, jnp.zeros(nu, dtype)])
+    Hf = jnp.zeros((nz, nz), dtype).at[diag_idx, diag_idx].set(
+        twoQ + twoQf + hN_b)
+    gf = jnp.concatenate([twoQ * eN + twoQf * eF + gN_b,
+                          jnp.zeros(nu, dtype)])
 
     return StageQP(Az, Bz, r, Hzz, Hzu, Huu, gz, gu, Hf, gf)
 

@@ -62,6 +62,12 @@ class MPCParams(NamedTuple):
     x_min: Array   # (nx,)
     x_max: Array   # (nx,)
     lin: LinPoint  # linearization point (used only when is_linear)
+    # Extension over the reference parameter vector: a separate terminal
+    # cost  (x_N - xf_des)' diag(qf) (x_N - xf_des).  qf = 0 reproduces the
+    # reference exactly; trajgen's augmented-Lagrangian endpoint constraint
+    # and terminal-set MPC variants use it.
+    qf: Array      # (nx,)
+    xf_des: Array  # (nx,)
 
 
 # Needed so AOT artifacts (runtime/generate.py) can serialize programs whose
@@ -84,6 +90,7 @@ def default_params(mp: ModelParameters, dtype=jnp.float32) -> MPCParams:
         lin=LinPoint(jnp.zeros((nx, nx), dtype), jnp.zeros((nx, nu), dtype),
                      jnp.zeros(nx, dtype), jnp.zeros(nx, dtype),
                      jnp.zeros(nu, dtype)),
+        qf=jnp.zeros(nx, dtype), xf_des=jnp.zeros(nx, dtype),
     )
 
 
@@ -151,7 +158,8 @@ class ShootingProblem:
         du = jnp.diff(U, axis=0, prepend=p.u_prev[None])
         j_rate = jnp.sum((du * du) @ p.r)
         j_mag = jnp.sum((U * U) @ p.rm)
-        return j_track + j_rate + j_mag
+        ef = X[-1] - p.xf_des
+        return j_track + j_rate + j_mag + (ef * ef) @ p.qf
 
     def cost_separable(self, X: Array, U: Array, p: MPCParams) -> Array:
         """Equivalent cost with tracking measured on ``x_{k+1}`` instead of
@@ -163,7 +171,8 @@ class ShootingProblem:
         du = jnp.diff(U, axis=0, prepend=p.u_prev[None])
         j_rate = jnp.sum((du * du) @ p.r)
         j_mag = jnp.sum((U * U) @ p.rm)
-        return j_track + j_rate + j_mag
+        ef = X[-1] - p.xf_des
+        return j_track + j_rate + j_mag + (ef * ef) @ p.qf
 
     def linearize_stages(self, X: Array, U: Array,
                          p: MPCParams) -> Tuple[Array, Array, Array]:

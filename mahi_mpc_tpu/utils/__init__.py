@@ -1,0 +1,3 @@
+from .results import ControlLog
+
+__all__ = ["ControlLog"]
