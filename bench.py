@@ -30,6 +30,13 @@ def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compilation cache: first TPU compile goes through a slow
+    # remote-compile tunnel (~minutes for the full SQP program); cache it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mahi_mpc_tpu import ModelParameters, SolverOptions
     from mahi_mpc_tpu.models import make_dynamics
     from mahi_mpc_tpu.solver import solve
@@ -63,13 +70,16 @@ def main():
             0.2 * rng.standard_normal((batch, prob.N, prob.nx)), dtype))
 
     solve_batch = jax.jit(jax.vmap(
-        lambda pp, xx, uu: solve(prob, pp, xx, uu, opts)))
+        lambda pp, xx, uu, mu: solve(prob, pp, xx, uu, opts, mu0=mu),
+        in_axes=(0, 0, 0, None)))
 
     X0 = jnp.zeros((batch, prob.N + 1, prob.nx), dtype)
     U0 = jnp.zeros((batch, prob.N, prob.nu), dtype)
+    mu_cold = jnp.asarray(opts.mu_init, dtype)
+    mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
 
     # Warm start from a cold batch solve (compile + first solve).
-    res = solve_batch(p_batch, X0, U0)
+    res = solve_batch(p_batch, X0, U0, mu_cold)
     jax.block_until_ready(res)
     X0, U0 = res.X, res.U
 
@@ -78,7 +88,7 @@ def main():
     for i in range(n_rounds):
         p_batch = p_batch._replace(
             x0=p_batch.x0 + jnp.float32(0.01) * jnp.sin(jnp.float32(i)))
-        res = solve_batch(p_batch, res.X, res.U)
+        res = solve_batch(p_batch, res.X, res.U, mu_warm)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / n_rounds
 

@@ -183,6 +183,7 @@ class SolverOptions:
     kappa_mu: float = 0.2        # barrier decrease factor
     kkt_backend: str = "riccati"  # "riccati" | "dense" | "pariccati" | "pallas"
     dtype: str = "float32"
+    warm_mu_factor: float = 10.0  # warm re-solves start at factor*tol barrier
 
 
 @dataclasses.dataclass

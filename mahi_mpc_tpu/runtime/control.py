@@ -116,6 +116,12 @@ class ModelControl:
         # ModelControl.cpp:161; zero init on load, :29-45).
         self._X0 = jnp.zeros((N + 1, nx), self._dtype)
         self._U0 = jnp.zeros((N, nu), self._dtype)
+        # Barrier schedule: cold solves descend from mu_init; once warm, the
+        # barrier restarts at warm_mu_factor*tol (see solver.sqp mu0).
+        self._mu_cold = jnp.asarray(opts.mu_init, self._dtype)
+        self._mu_warm = jnp.asarray(
+            max(opts.warm_mu_factor * opts.tol, opts.mu_min), self._dtype)
+        self._is_warm = False
 
         # Latest measured inputs (set_state, ModelControl.cpp:75-81).
         self._state_lock = threading.Lock()
@@ -152,7 +158,7 @@ class ModelControl:
             from ..ops.linalg import register_lapack_ffi_targets
             register_lapack_ffi_targets()
             exp = jax.export.deserialize(art.read_bytes())
-            self._solve_fn = jax.jit(exp.call)
+            self._solve_fn = jax.jit(exp.call)  # (p, X0, U0, mu0)
             lin_path = art.with_name(
                 art.name[: -len(ARTIFACT_SUFFIX)] + LINEAR_SUFFIX)
             if lin_path.is_file():
@@ -178,14 +184,14 @@ class ModelControl:
             prob, opts = self.problem, self.opts
 
             self._solve_fn = jax.jit(
-                lambda p, X0, U0: solve(prob, p, X0, U0, opts))
+                lambda p, X0, U0, mu0: solve(prob, p, X0, U0, opts, mu0=mu0))
             dyn = dynamics
             self._lin_fn = jax.jit(lambda x, u: dyn.linearize(x, u))
 
     def warmup(self) -> None:
         """Force compilation now (the reference's first cold solve hides in a
         100 ms sleep, ``thread_model_control_example.cpp:66-68``)."""
-        res = self._solve_fn(self._p, self._X0, self._U0)
+        res = self._solve_fn(self._p, self._X0, self._U0, self._mu_cold)
         jax.block_until_ready(res)
         if self._lin_fn is not None:
             jax.block_until_ready(self._lin_fn(
@@ -246,8 +252,9 @@ class ModelControl:
             A, B, xd0 = self._lin_fn(x0, u0)
             p = p._replace(lin=LinPoint(A, B, xd0, x0, u0))
 
+        mu0 = self._mu_warm if self._is_warm else self._mu_cold
         t0 = time.perf_counter()
-        res: SolveResult = self._solve_fn(p, self._X0, self._U0)
+        res: SolveResult = self._solve_fn(p, self._X0, self._U0, mu0)
         jax.block_until_ready(res)
         dt = time.perf_counter() - t0
 
@@ -260,6 +267,7 @@ class ModelControl:
             return self._plan
 
         self._X0, self._U0 = res.X, res.U  # warm start next solve
+        self._is_warm = True
         times = t + np.arange(mp.num_shooting_nodes + 1) * mp.step_size
         plan = Plan(times=times, X=np.asarray(res.X), U=np.asarray(res.U),
                     iters=int(res.iters), status=int(res.status),

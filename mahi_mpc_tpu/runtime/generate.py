@@ -72,8 +72,9 @@ class ModelGenerator:
         self.problem = make_problem(self.params, self.dynamics)
         prob, opts = self.problem, self.opts
 
-        def solve_fn(p: MPCParams, X0: jnp.ndarray, U0: jnp.ndarray):
-            return solve(prob, p, X0, U0, opts)
+        def solve_fn(p: MPCParams, X0: jnp.ndarray, U0: jnp.ndarray,
+                     mu0: jnp.ndarray):
+            return solve(prob, p, X0, U0, opts, mu0=mu0)
 
         self._solve_fn = jax.jit(solve_fn)
 
@@ -104,8 +105,9 @@ class ModelGenerator:
         U_spec = jax.ShapeDtypeStruct((N, nu), dtype)
 
         plats = _export_platforms()
+        mu_spec = jax.ShapeDtypeStruct((), dtype)
         exp = jax.export.export(self._solve_fn, platforms=plats)(
-            p_spec, X_spec, U_spec)
+            p_spec, X_spec, U_spec, mu_spec)
         art = directory / f"{mp.name}{ARTIFACT_SUFFIX}"
         art.write_bytes(exp.serialize())
 
