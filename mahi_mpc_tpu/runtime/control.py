@@ -91,7 +91,8 @@ class ModelControl:
                  Rm: Optional[Sequence[float]] = None,
                  opts: SolverOptions = SolverOptions(),
                  directory: str | Path = ".",
-                 dynamics: Optional[Dynamics] = None):
+                 dynamics: Optional[Dynamics] = None,
+                 use_native_server: bool = False):
         if isinstance(model_name, ModelParameters):
             self.params = model_name
         else:
@@ -133,6 +134,13 @@ class ModelControl:
         # The served plan: immutable, swapped atomically (GIL reference
         # assignment) — replaces m_output_mutex (ModelControl.cpp:186-189).
         self._plan: Plan = empty_plan(nx, nu)
+
+        # Optional native (C++) plan server: wait-free seqlock handoff for
+        # hard-real-time consumers (runtime/native/plan_server.cpp).
+        self._native = None
+        if use_native_server:
+            from .native import NativePlanServer
+            self._native = NativePlanServer(nx, nu, N)
 
         self._calc_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -274,6 +282,8 @@ class ModelControl:
                     kkt=float(res.kkt), feas=float(res.feas),
                     obj=float(res.obj), solve_time_s=dt)
         self._plan = plan  # atomic swap
+        if self._native is not None:
+            self._native.publish(plan.times, plan.X, plan.U)
         return plan
 
     # -- async solver thread (C9, ModelControl.cpp:83-112) -------------------
@@ -308,6 +318,10 @@ class ModelControl:
 
     def control_at_time(self, t: float) -> np.ndarray:
         """(``ModelControl.cpp:192-197``) — safe before the first solve."""
+        if self._native is not None:
+            u = self._native.sample(t)
+            if u is not None:
+                return u
         return self._plan.control_at_time(t)
 
     def control_results(self) -> Plan:
