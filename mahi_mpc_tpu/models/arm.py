@@ -66,41 +66,59 @@ def make_serial_arm(name: str, links: List[LinkSpec],
     inertias = jnp.array([l.inertia for l in links])
     gvec = g * jnp.array(gravity_dir)
 
-    def fk(q: Array) -> Tuple[Array, Array]:
-        """COM world positions (n,3) and link world rotations (n,3,3)."""
+    def fk_full(q: Array):
+        """World-frame chain quantities (python loop unrolled at trace time):
+        joint origins o_i, joint axes z_i, COM positions c_i, rotations R_i."""
         R = jnp.eye(3)
         p = jnp.zeros(3)
-        ps, Rs = [], []
-        for i in range(n):  # n is static (<= 4-ish); unrolled at trace time
+        os_, zs, cs, Rs = [], [], [], []
+        for i in range(n):
             p = p + R @ offsets[i]
+            z = R @ axes[i]          # joint axis is fixed in the parent frame
             R = R @ _rodrigues(axes[i], q[i])
-            ps.append(p + R @ coms[i])
+            os_.append(p)
+            zs.append(z)
+            cs.append(p + R @ coms[i])
             Rs.append(R)
-        return jnp.stack(ps), jnp.stack(Rs)
+        return jnp.stack(os_), jnp.stack(zs), jnp.stack(cs), jnp.stack(Rs)
+
+    def fk(q: Array) -> Tuple[Array, Array]:
+        """COM world positions (n,3) and link world rotations (n,3,3)."""
+        _, _, cs, Rs = fk_full(q)
+        return cs, Rs
+
+    def mass_matrix(q: Array) -> Array:
+        """Explicit geometric-Jacobian CRBA-style assembly:
+        M = sum_i m_i Jv_i' Jv_i + Jw_i' (R_i I_i R_i') Jw_i.
+        Much cheaper to trace/evaluate than the Hessian-of-kinetic-energy
+        formulation (which is third-order autodiff once the SQP linearizes
+        through it) while numerically identical."""
+        o, z, c, R = fk_full(q)
+        M = jnp.zeros((n, n))
+        for i in range(n):
+            # Jv_i[:, j] = z_j x (c_i - o_j), Jw_i[:, j] = z_j  (j <= i)
+            cols_v = [jnp.cross(z[j], c[i] - o[j]) for j in range(i + 1)]
+            Jv = jnp.stack(cols_v + [jnp.zeros(3)] * (n - i - 1), axis=1)
+            Jw = jnp.concatenate(
+                [z[: i + 1].T, jnp.zeros((3, n - i - 1))], axis=1)
+            Iw = R[i] @ (inertias[i][:, None] * R[i].T)
+            M = M + masses[i] * Jv.T @ Jv + Jw.T @ Iw @ Jw
+        return 0.5 * (M + M.T)
 
     def kinetic(q: Array, qd: Array) -> Array:
-        (ps, Rs), (pds, Rds) = jax.jvp(fk, (q,), (qd,))
-        ke = 0.5 * jnp.sum(masses * jnp.sum(pds * pds, axis=-1))
-        for i in range(n):
-            # body angular velocity: [w]_x = R^T Rdot
-            W = Rs[i].T @ Rds[i]
-            w = jnp.stack([W[2, 1], W[0, 2], W[1, 0]])
-            ke = ke + 0.5 * jnp.sum(inertias[i] * w * w)
-        return ke
+        return 0.5 * qd @ mass_matrix(q) @ qd
 
     def potential(q: Array) -> Array:
         ps, _ = fk(q)
         return -jnp.sum(masses * (ps @ gvec))
 
-    def mass_matrix(q: Array) -> Array:
-        return jax.hessian(lambda qd: kinetic(q, qd))(jnp.zeros(n))
-
     def bias(q: Array, qd: Array) -> Array:
-        """h(q, qd) = C(q, qd) qd + grav(q), from Euler-Lagrange:
-        d/dt (dKE/dqd) - dKE/dq + dV/dq with qdd = 0."""
-        momentum = lambda q_: jax.grad(kinetic, argnums=1)(q_, qd)
-        _, dM_qd = jax.jvp(momentum, (q,), (qd,))
-        return dM_qd - jax.grad(kinetic, argnums=0)(q, qd) + jax.grad(potential)(q)
+        """h(q, qd) = C(q, qd) qd + grav(q) from the Euler-Lagrange form
+        h = Mdot qd - 1/2 d(qd' M qd)/dq + dV/dq — first-order autodiff of
+        the explicit mass-matrix graph only."""
+        Mdot_qd = jax.jvp(lambda q_: mass_matrix(q_) @ qd, (q,), (qd,))[1]
+        dKE_dq = jax.grad(lambda q_: 0.5 * qd @ mass_matrix(q_) @ qd)(q)
+        return Mdot_qd - dKE_dq + jax.grad(potential)(q)
 
     def f(x: Array, u: Array) -> Array:
         q, qd = x[:n], x[n:]

@@ -109,7 +109,6 @@ def solve(prob: ShootingProblem, p: MPCParams,
                     jnp.maximum(jnp.asarray(mu0, dtype), mu_floor),
                     jnp.asarray(opts.mu_min, dtype))
 
-    ls_alphas = 0.5 ** jnp.arange(opts.linesearch_steps, dtype=dtype)
     tol = jnp.asarray(opts.tol, dtype)
     # Barrier floor: the barrier solution differs from the NLP solution by
     # O(mu), so stopping once mu <= 0.1*tol (or the hard floor mu_min)
@@ -134,7 +133,6 @@ def solve(prob: ShootingProblem, p: MPCParams,
         a_x = jax.vmap(lambda x, dx: fraction_to_boundary(x, dx, p.x_min, p.x_max))(
             s.X[1:], dX[1:])
         alpha_max = jnp.minimum(jnp.min(a_u), jnp.min(a_x))
-        alphas = alpha_max * ls_alphas
 
         m0 = merit(prob, s.X, s.U, p, s.mu, nu_pen)
         # Directional derivative of the merit along the step.
@@ -147,15 +145,28 @@ def solve(prob: ShootingProblem, p: MPCParams,
         def try_alpha(a):
             return merit(prob, s.X + a * dX, s.U + a * dU, p, s.mu, nu_pen)
 
-        mvals = jax.vmap(try_alpha)(alphas)
-        armijo = mvals <= m0 + 1e-4 * alphas * ddir
-        mvals_ok = jnp.where(jnp.isfinite(mvals), mvals, jnp.inf)
-        first_pass = jnp.argmax(armijo)  # first True, else 0
-        any_pass = jnp.any(armijo)
-        best = jnp.argmin(mvals_ok)
-        idx = jnp.where(any_pass, first_pass, best)
-        improved = mvals_ok[idx] < m0
-        alpha = jnp.where(any_pass | improved, alphas[idx], 0.0)
+        # Adaptive backtracking: evaluate the full (fraction-to-boundary
+        # capped) step first and halve only on Armijo failure.  A merit
+        # evaluation costs a full horizon of dynamics evals — in the warm
+        # receding-horizon steady state the first candidate nearly always
+        # passes, so this does 1 evaluation where a fixed fan does
+        # `linesearch_steps` (the profiled 542 ms -> ~35 ms at batch 1024).
+        def ls_cond(c):
+            a, m, it, ok = c
+            return (~ok) & (it < opts.linesearch_steps)
+
+        def ls_body(c):
+            a, m, it, ok = c
+            m_new = try_alpha(a)
+            pass_ = jnp.isfinite(m_new) & (m_new <= m0 + 1e-4 * a * ddir)
+            a_next = jnp.where(pass_, a, 0.5 * a)
+            return (a_next, jnp.where(pass_, m_new, m), it + 1, pass_)
+
+        alpha, _, _, any_pass = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha_max, jnp.asarray(jnp.inf, dtype),
+             jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        alpha = jnp.where(any_pass, alpha, 0.0)
 
         X_new = s.X + alpha * dX
         U_new = s.U + alpha * dU
