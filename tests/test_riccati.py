@@ -80,3 +80,27 @@ def test_vmapped_batch():
         ref = solve_lqr_scan(qp)
         np.testing.assert_allclose(np.asarray(sols.du[i]), np.asarray(ref.du),
                                    rtol=1e-9, atol=1e-9)
+
+
+def test_parallel_scan_matches_dense():
+    """O(log N) associative-scan backend vs the dense KKT oracle."""
+    from mahi_mpc_tpu.solver.pariccati import solve_lqr_parallel
+    for seed in [0, 1, 2]:
+        qp = random_qp(N=16, seed=seed)
+        a = solve_lqr_parallel(qp)
+        b = solve_lqr_dense(qp)
+        np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
+                                   rtol=1e-7, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.dz), np.asarray(b.dz),
+                                   rtol=1e-7, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.lam[1:]), np.asarray(b.lam[1:]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_parallel_scan_long_horizon():
+    from mahi_mpc_tpu.solver.pariccati import solve_lqr_parallel
+    qp = random_qp(N=128, seed=3)
+    a = solve_lqr_parallel(qp)
+    b = solve_lqr_scan(qp)
+    np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
+                               rtol=1e-6, atol=1e-6)
