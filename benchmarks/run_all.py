@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: the five BASELINE.json configs + scaling report.
+
+Usage:
+    python benchmarks/run_all.py [--cpu] [--configs 1 2 3] [--batch 1024]
+        [--out benchmarks/results.json]
+
+Per config: warm-started receding-horizon solve timing (p50/p99), SQP
+iterations, convergence fraction, and for config #5 the batched solves/s.
+Prints a JSON report; the repo-root bench.py remains the one-line headline.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = {
+    1: dict(name="pendulum_swingup", model="pendulum", nx=2, nu=1, N=25,
+            dt=0.04, u_lim=6.0, q=[20.0, 1.0], desc="pendulum swing-up"),
+    2: dict(name="cartpole_swingup", model="cartpole", nx=4, nu=1, N=50,
+            dt=0.04, u_lim=10.0, q=[10.0, 20.0, 1.0, 1.0],
+            desc="cart-pole swing-up with input bounds"),
+    3: dict(name="two_link_reach", model="two_link_arm", nx=4, nu=2, N=50,
+            dt=0.02, u_lim=40.0, q=[10.0, 10.0, 1.0, 1.0],
+            desc="2-DOF arm reaching, horizon 50"),
+    4: dict(name="mahi_arm_rt", model="mahi_arm", nx=8, nu=4, N=25,
+            dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4,
+            desc="4-DOF MAHI-class arm, 1 kHz budget"),
+    5: dict(name="batch_scenarios", model="mahi_arm", nx=8, nu=4, N=25,
+            dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4,
+            desc="batched scenario MPC"),
+}
+
+
+def bench_config(cfg, batch, rounds, opts_kw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mahi_mpc_tpu import ModelParameters, SolverOptions
+    from mahi_mpc_tpu.models import make_dynamics
+    from mahi_mpc_tpu.solver import solve
+    from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
+
+    dyn = make_dynamics(cfg["model"])
+    mp = ModelParameters(
+        cfg["name"], num_x=dyn.nx, num_u=dyn.nu, step_size=cfg["dt"],
+        num_shooting_nodes=cfg["N"], u_min=[-cfg["u_lim"]] * dyn.nu,
+        u_max=[cfg["u_lim"]] * dyn.nu, dynamics_name=cfg["model"])
+    prob = make_problem(mp, dyn)
+    opts = SolverOptions(**opts_kw)
+    dtype = jnp.dtype(opts.dtype)
+    rng = np.random.default_rng(0)
+
+    p = default_params(mp, dtype=dtype)
+    p = p._replace(q=jnp.asarray(cfg["q"], dtype),
+                   r=jnp.full((dyn.nu,), 0.1, dtype),
+                   rm=jnp.full((dyn.nu,), 0.01, dtype))
+    B = batch
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    pb = pb._replace(
+        x0=jnp.asarray(0.2 * rng.standard_normal((B, dyn.nx)), dtype),
+        x_des=jnp.asarray(0.2 * rng.standard_normal((B, cfg["N"], dyn.nx)),
+                          dtype))
+
+    fn = jax.jit(jax.vmap(
+        lambda pp, xx, uu, mu: solve(prob, pp, xx, uu, opts, mu0=mu),
+        in_axes=(0, 0, 0, None)))
+    X = jnp.zeros((B, cfg["N"] + 1, dyn.nx), dtype)
+    U = jnp.zeros((B, cfg["N"], dyn.nu), dtype)
+    mu_cold = jnp.asarray(opts.mu_init, dtype)
+    mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+
+    t0 = time.perf_counter()
+    res = fn(pb, X, U, mu_cold)
+    jax.block_until_ready(res)
+    t_cold = time.perf_counter() - t0
+
+    lat = []
+    for i in range(rounds):
+        pb = pb._replace(x0=pb.x0 + jnp.asarray(0.01 * np.sin(i), dtype))
+        t0 = time.perf_counter()
+        res = fn(pb, res.X, res.U, mu_warm)
+        jax.block_until_ready(res)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    return {
+        "desc": cfg["desc"],
+        "batch": B,
+        "cold_s": round(t_cold, 3),
+        "warm_p50_ms": round(float(np.percentile(lat, 50) * 1e3), 2),
+        "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+        "solves_per_s": round(B / float(np.mean(lat)), 1),
+        "mean_iters": round(float(jnp.mean(res.iters)), 2),
+        "converged_frac": round(float(jnp.mean(
+            (res.status == 0).astype(jnp.float32))), 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--max-iter", type=int, default=12)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    report = {"device": str(jax.devices()[0]), "configs": {}}
+    for c in args.configs:
+        cfg = CONFIGS[c]
+        batch = args.batch or (4096 if c == 5 else 256)
+        r = bench_config(cfg, batch, args.rounds,
+                         dict(tol=args.tol, max_iter=args.max_iter))
+        report["configs"][str(c)] = r
+        print(f"config {c} ({cfg['desc']}): {json.dumps(r)}", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
