@@ -51,3 +51,17 @@ def make_double_pendulum(L: float = 1.0, m: float = 1.0,
         return jnp.stack([qAd, qBd, qAdd, qBdd])
 
     return Dynamics("double_pendulum", nx=4, nu=2, f=f)
+
+
+@register("acrobot")
+def make_acrobot(L: float = 1.0, m: float = 1.0, g: float = 9.81) -> Dynamics:
+    """Underactuated double pendulum: torque at the elbow only (the classic
+    acrobot benchmark).  Same physics as `double_pendulum` with TA = 0 and
+    u = [TB]; exercises the solver on an underactuated system where the
+    continuity constraints do all the work."""
+    dp = make_double_pendulum(L=L, m=m, g=g)
+
+    def f(x: Array, u: Array) -> Array:
+        return dp.f(x, jnp.stack([jnp.zeros_like(u[0]), u[0]]))
+
+    return Dynamics("acrobot", nx=4, nu=1, f=f)

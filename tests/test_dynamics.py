@@ -154,3 +154,15 @@ def test_integrator_convergence_order(method, order):
     errs = [float(jnp.linalg.norm(rollout(dt) - ref)) for dt in (0.04, 0.02)]
     rate = np.log2(errs[0] / errs[1])
     assert rate > order - 0.4, (errs, rate)
+
+
+def test_acrobot_underactuated():
+    """Acrobot = double pendulum with TA=0; check consistency."""
+    from mahi_mpc_tpu.models import make_acrobot, make_double_pendulum
+    acro = make_acrobot()
+    dp = make_double_pendulum()
+    x = jnp.array([0.3, -0.2, 0.5, 0.1])
+    np.testing.assert_allclose(
+        np.asarray(acro.f(x, jnp.array([0.7]))),
+        np.asarray(dp.f(x, jnp.array([0.0, 0.7]))), rtol=1e-12)
+    assert acro.nx == 4 and acro.nu == 1
