@@ -69,9 +69,10 @@ def main():
         x_des=jnp.asarray(
             0.2 * rng.standard_normal((batch, prob.N, prob.nx)), dtype))
 
-    solve_batch = jax.jit(jax.vmap(
-        lambda pp, xx, uu, mu: solve(prob, pp, xx, uu, opts, mu0=mu),
-        in_axes=(0, 0, 0, None)))
+    from mahi_mpc_tpu.solver.batched import solve_batch_lanes
+    solve_batch = jax.jit(
+        lambda pp, xx, uu, mu: solve_batch_lanes(prob, pp, xx, uu, opts,
+                                                 mu0=mu))
 
     X0 = jnp.zeros((batch, prob.N + 1, prob.nx), dtype)
     U0 = jnp.zeros((batch, prob.N, prob.nu), dtype)

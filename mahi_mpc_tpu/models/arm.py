@@ -21,7 +21,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import spd_solve_small
+from ..ops.linalg import spd_solve_lanes
 from .base import Dynamics, register
 
 Array = jnp.ndarray
@@ -48,11 +48,35 @@ class LinkSpec:
 
 
 def _rodrigues(axis: Array, angle: Array) -> Array:
-    """Rotation matrix about a unit axis."""
+    """Rotation matrix about a unit axis; shape-polymorphic: angle (...)
+    gives R of shape (3, 3, ...) — component indices lead, batch trails."""
     kx, ky, kz = axis[0], axis[1], axis[2]
-    K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]])
+    K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]],
+                  dtype=angle.dtype)
+    KK = K @ K
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+    ext = (3, 3) + (1,) * jnp.ndim(angle)
+    return (jnp.eye(3, dtype=angle.dtype).reshape(ext) + s * K.reshape(ext)
+            + (1.0 - c) * KK.reshape(ext))
+
+
+def _mm3(A: Array, B: Array) -> Array:
+    """(3,3,...) @ (3,3,...)."""
+    return jnp.einsum("ij...,jk...->ik...", A, B)
+
+
+def _mv3(A: Array, b) -> Array:
+    """(3,3,...) @ (3[,...])."""
+    if jnp.ndim(b) == 1:
+        return jnp.einsum("ij...,j->i...", A, jnp.asarray(b))
+    return jnp.einsum("ij...,j...->i...", A, b)
+
+
+def _cross3(a: Array, b: Array) -> Array:
+    """Cross product of (3, ...) vectors along axis 0."""
+    return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                      a[2] * b[0] - a[0] * b[2],
+                      a[0] * b[1] - a[1] * b[0]], axis=0)
 
 
 def make_serial_arm(name: str, links: List[LinkSpec],
@@ -68,68 +92,125 @@ def make_serial_arm(name: str, links: List[LinkSpec],
 
     def fk_full(q: Array):
         """World-frame chain quantities (python loop unrolled at trace time):
-        joint origins o_i, joint axes z_i, COM positions c_i, rotations R_i."""
-        R = jnp.eye(3)
-        p = jnp.zeros(3)
+        joint origins o_i, joint axes z_i, COM positions c_i, rotations R_i.
+        Shape-polymorphic: q (n, ...) gives lists of (3, ...) / (3, 3, ...)
+        — component indices lead, any trailing batch rides in TPU lanes."""
+        offsets_ = offsets.astype(q.dtype)
+        axes_ = axes.astype(q.dtype)
+        coms_ = coms.astype(q.dtype)
+        S = q.shape[1:]
+        R = jnp.broadcast_to(
+            jnp.eye(3, dtype=q.dtype).reshape((3, 3) + (1,) * len(S)),
+            (3, 3) + S)
+        p = jnp.zeros((3,) + S, q.dtype)
         os_, zs, cs, Rs = [], [], [], []
         for i in range(n):
-            p = p + R @ offsets[i]
-            z = R @ axes[i]          # joint axis is fixed in the parent frame
-            R = R @ _rodrigues(axes[i], q[i])
+            p = p + _mv3(R, offsets_[i])
+            z = _mv3(R, axes_[i])     # joint axis is fixed in the parent frame
+            R = _mm3(R, _rodrigues(axes_[i], q[i]))
             os_.append(p)
             zs.append(z)
-            cs.append(p + R @ coms[i])
+            cs.append(p + _mv3(R, coms_[i]))
             Rs.append(R)
-        return jnp.stack(os_), jnp.stack(zs), jnp.stack(cs), jnp.stack(Rs)
+        return os_, zs, cs, Rs
 
     def fk(q: Array) -> Tuple[Array, Array]:
-        """COM world positions (n,3) and link world rotations (n,3,3)."""
+        """COM world positions (n,3[,...]) and link rotations (n,3,3[,...])."""
         _, _, cs, Rs = fk_full(q)
-        return cs, Rs
+        return jnp.stack(cs), jnp.stack(Rs)
+
+    def _mass_and_gravity(q: Array) -> Tuple[Array, Array]:
+        """Explicit geometric-Jacobian assembly:
+        M = sum_i m_i Jv_i' Jv_i + Jw_i' (R_i I_i R_i') Jw_i,
+        G_j = -sum_i m_i gvec . Jv_i[:, j]   (gravity torque, no autodiff).
+        Cheaper to trace/evaluate than Hessian-of-kinetic-energy (which is
+        third-order autodiff once the SQP linearizes through it), and
+        shape-polymorphic in trailing lanes."""
+        o, z, c, R = fk_full(q)
+        S = q.shape[1:]
+        inertias_ = inertias.astype(q.dtype)
+        masses_ = masses.astype(q.dtype)
+        gvec_ = gvec.astype(q.dtype)
+        zero3 = jnp.zeros((3,) + S, q.dtype)
+        Mrows = [[None] * n for _ in range(n)]
+        G = [jnp.zeros(S, q.dtype) for _ in range(n)]
+        # Jv columns per link i: (3, ...) each
+        for i in range(n):
+            Jv = [(_cross3(z[j], c[i] - o[j]) if j <= i else zero3)
+                  for j in range(n)]
+            Jw = [(z[j] if j <= i else zero3) for j in range(n)]
+            # Iw = R diag(I) R'
+            Iw = _mm3(R[i] * inertias_[i].reshape((1, 3) + (1,) * len(S)),
+                      jnp.swapaxes(R[i], 0, 1))
+            IwJw = [_mv3(Iw, Jw[k]) for k in range(n)]
+            for a in range(n):
+                G[a] = G[a] - masses_[i] * jnp.einsum("i...,i->...",
+                                                      Jv[a], gvec_)
+                for b in range(a, n):
+                    contrib = (masses_[i] * jnp.sum(Jv[a] * Jv[b], axis=0)
+                               + jnp.sum(Jw[a] * IwJw[b], axis=0))
+                    Mrows[a][b] = contrib if Mrows[a][b] is None \
+                        else Mrows[a][b] + contrib
+        for a in range(n):
+            for b in range(a):
+                Mrows[a][b] = Mrows[b][a]
+        M = jnp.stack([jnp.stack(row, axis=0) for row in Mrows], axis=0)
+        return M, jnp.stack(G, axis=0)
 
     def mass_matrix(q: Array) -> Array:
-        """Explicit geometric-Jacobian CRBA-style assembly:
-        M = sum_i m_i Jv_i' Jv_i + Jw_i' (R_i I_i R_i') Jw_i.
-        Much cheaper to trace/evaluate than the Hessian-of-kinetic-energy
-        formulation (which is third-order autodiff once the SQP linearizes
-        through it) while numerically identical."""
-        o, z, c, R = fk_full(q)
-        M = jnp.zeros((n, n))
-        for i in range(n):
-            # Jv_i[:, j] = z_j x (c_i - o_j), Jw_i[:, j] = z_j  (j <= i)
-            cols_v = [jnp.cross(z[j], c[i] - o[j]) for j in range(i + 1)]
-            Jv = jnp.stack(cols_v + [jnp.zeros(3)] * (n - i - 1), axis=1)
-            Jw = jnp.concatenate(
-                [z[: i + 1].T, jnp.zeros((3, n - i - 1))], axis=1)
-            Iw = R[i] @ (inertias[i][:, None] * R[i].T)
-            M = M + masses[i] * Jv.T @ Jv + Jw.T @ Iw @ Jw
-        return 0.5 * (M + M.T)
+        return _mass_and_gravity(q)[0]
 
     def kinetic(q: Array, qd: Array) -> Array:
-        return 0.5 * qd @ mass_matrix(q) @ qd
+        return 0.5 * jnp.einsum("i...,ij...,j...->...",
+                                qd, mass_matrix(q), qd)
 
     def potential(q: Array) -> Array:
-        ps, _ = fk(q)
-        return -jnp.sum(masses * (ps @ gvec))
+        cs, _ = fk(q)   # (n, 3, ...)
+        heights = jnp.einsum("li...,i->l...", cs, gvec.astype(q.dtype))
+        return -jnp.einsum("l...,l->...", heights, masses.astype(q.dtype))
 
     def bias(q: Array, qd: Array) -> Array:
-        """h(q, qd) = C(q, qd) qd + grav(q) from the Euler-Lagrange form
-        h = Mdot qd - 1/2 d(qd' M qd)/dq + dV/dq — first-order autodiff of
-        the explicit mass-matrix graph only."""
-        Mdot_qd = jax.jvp(lambda q_: mass_matrix(q_) @ qd, (q,), (qd,))[1]
-        dKE_dq = jax.grad(lambda q_: 0.5 * qd @ mass_matrix(q_) @ qd)(q)
-        return Mdot_qd - dKE_dq + jax.grad(potential)(q)
+        """h(q, qd) = C(q, qd) qd + grav(q):
+        h = Mdot qd - 1/2 d(qd' M qd)/dq + G, with dM/dq_j obtained from n
+        forward-mode passes over the explicit mass-matrix graph."""
+        S = q.shape[1:]
+        Mdot = None
+        dKE = []
+        for j in range(n):
+            ej = jnp.broadcast_to(
+                jnp.eye(n, dtype=q.dtype)[j].reshape((n,) + (1,) * len(S)),
+                q.shape)
+            Mj = jax.jvp(mass_matrix, (q,), (ej,))[1]
+            dKE.append(0.5 * jnp.einsum("i...,ij...,j...->...", qd, Mj, qd))
+            contrib = qd[j] * Mj
+            Mdot = contrib if Mdot is None else Mdot + contrib
+        _, G = _mass_and_gravity(q)
+        return (jnp.einsum("ij...,j...->i...", Mdot, qd)
+                - jnp.stack(dKE, axis=0) + G)
 
     def f(x: Array, u: Array) -> Array:
         q, qd = x[:n], x[n:]
-        M = mass_matrix(q)
-        # SPD mass matrix: unrolled Cholesky solve (ops/linalg.py) — keeps
-        # the dynamics free of LAPACK custom calls so it fuses on TPU and
-        # AOT-exports portably.
-        qdd = spd_solve_small(M, u - bias(q, qd) - joint_damping * qd)
-        return jnp.concatenate([qd, qdd])
+        M, G = _mass_and_gravity(q)
+        Mdot = None
+        dKE = []
+        S = q.shape[1:]
+        for j in range(n):
+            ej = jnp.broadcast_to(
+                jnp.eye(n, dtype=q.dtype)[j].reshape((n,) + (1,) * len(S)),
+                q.shape)
+            Mj = jax.jvp(mass_matrix, (q,), (ej,))[1]
+            dKE.append(0.5 * jnp.einsum("i...,ij...,j...->...", qd, Mj, qd))
+            contrib = qd[j] * Mj
+            Mdot = contrib if Mdot is None else Mdot + contrib
+        h = (jnp.einsum("ij...,j...->i...", Mdot, qd)
+             - jnp.stack(dKE, axis=0) + G)
+        # SPD mass matrix: unrolled Cholesky solve in lanes layout
+        # (ops/linalg.py) — no LAPACK custom calls, fuses on TPU, and the
+        # trailing batch rides in lanes.
+        qdd = spd_solve_lanes(M, u - h - joint_damping * qd)
+        return jnp.concatenate([qd, qdd], axis=0)
 
-    dyn = Dynamics(name, nx=2 * n, nu=n, f=f)
+    dyn = Dynamics(name, nx=2 * n, nu=n, f=f, supports_lanes=True)
     # Expose internals for tests and tooling (frozen dataclass -> object.__setattr__).
     object.__setattr__(dyn, "mass_matrix", mass_matrix)
     object.__setattr__(dyn, "bias", bias)

@@ -21,12 +21,20 @@ Array = jnp.ndarray
 
 @dataclasses.dataclass(frozen=True)
 class Dynamics:
-    """A continuous-time control system ``x_dot = f(x, u)``."""
+    """A continuous-time control system ``x_dot = f(x, u)``.
+
+    ``supports_lanes``: True when ``f`` is shape-polymorphic in a *trailing*
+    batch — ``f((nx, ...), (nu, ...)) -> (nx, ...)`` with component indices
+    leading.  Scalar-expression models get this for free; it lets the
+    batched solver evaluate dynamics with the scenario/node/tangent product
+    in TPU lanes (solver/batched.py) instead of vmapping tiny graphs.
+    """
 
     name: str
     nx: int
     nu: int
     f: Callable[[Array, Array], Array]
+    supports_lanes: bool = False
 
     def __call__(self, x: Array, u: Array) -> Array:
         return self.f(x, u)

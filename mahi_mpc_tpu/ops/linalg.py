@@ -131,6 +131,54 @@ def solve_small(A: Array, b: Array) -> Array:
     return x[..., 0] if vec else x
 
 
+def chol_lanes(A: Array, jitter: float = 0.0) -> Array:
+    """Cholesky of a small SPD matrix in *lanes* layout: A has shape
+    (n, n, ...lanes) — component indices lead, batch trails.  Every
+    intermediate is a (...lanes,) array, so TPU tiles are fully occupied
+    regardless of n.  Mirrors `chol_small`."""
+    n = A.shape[0]
+    rows = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j] + jitter
+        for k in range(j):
+            s = s - rows[j][k] * rows[j][k]
+        d = jnp.sqrt(s)
+        rows[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            rows[i][j] = s * inv_d
+    zero = jnp.zeros_like(A[0, 0])
+    return jnp.stack([jnp.stack(
+        [rows[i][j] if j <= i else zero for j in range(n)], axis=0)
+        for i in range(n)], axis=0)
+
+
+def cho_solve_lanes(L: Array, b: Array) -> Array:
+    """Solve (L L') x = b in lanes layout: L (n, n, ...), b (n, ...)."""
+    n = L.shape[0]
+    ys = []
+    for i in range(n):
+        s = b[i]
+        for j in range(i):
+            s = s - L[i, j] * ys[j]
+        ys.append(s / L[i, i])
+    xs: list = [None] * n
+    for i in reversed(range(n)):
+        s = ys[i]
+        for j in range(i + 1, n):
+            s = s - L[j, i] * xs[j]
+        xs[i] = s / L[i, i]
+    return jnp.stack(xs, axis=0)
+
+
+def spd_solve_lanes(A: Array, b: Array, jitter: float = 0.0) -> Array:
+    """Solve A x = b, SPD A in lanes layout (n, n, ...), b (n, ...)."""
+    return cho_solve_lanes(chol_lanes(A, jitter), b)
+
+
 def register_lapack_ffi_targets() -> None:
     """Safety net for artifacts that *do* contain LAPACK custom calls
     (user-supplied dynamics using jnp.linalg): on this CPU backend the FFI

@@ -87,7 +87,12 @@ def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
     """
     spec = batch_spec(mesh)
 
+    use_lanes = prob.dynamics.supports_lanes and not prob.is_linear
+
     def step(p_batch: MPCParams, X0: Array, U0: Array) -> SolveResult:
+        if use_lanes:
+            from ..solver.batched import solve_batch_lanes
+            return solve_batch_lanes(prob, p_batch, X0, U0, opts)
         return jax.vmap(lambda p, x, u: solve(prob, p, x, u, opts))(
             p_batch, X0, U0)
 

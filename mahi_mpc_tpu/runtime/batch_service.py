@@ -71,7 +71,12 @@ class BatchModelControl:
             max(opts.warm_mu_factor * opts.tol, opts.mu_min), dtype)
         self._warm = False
 
+        use_lanes = dynamics.supports_lanes and not params.is_linear
+
         def step_fn(p_b: MPCParams, X, U, mu0):
+            if use_lanes:
+                from ..solver.batched import solve_batch_lanes
+                return solve_batch_lanes(prob, p_b, X, U, opts, mu0=mu0)
             return jax.vmap(
                 lambda pp, xx, uu: solve(prob, pp, xx, uu, opts, mu0=mu0))(
                     p_b, X, U)

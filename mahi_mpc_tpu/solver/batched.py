@@ -1,0 +1,280 @@
+"""Lanes-batched SQP: the TPU-throughput solve for scenario batches.
+
+`jax.vmap(solve)` is correct but lays every dynamics intermediate out with
+tiny trailing dims (a (B, N, 3, 3) quantity occupies (8, 128) TPU tiles at a
+few percent), which made dynamics evaluation ~97% of the measured SQP
+iteration at batch 1024 (linearize 313 ms vs Riccati 7 ms).  This module
+re-expresses the same algorithm with the *batch x node (x tangent)* product
+placed in trailing lanes for every dynamics evaluation:
+
+- models are shape-polymorphic with trailing batch (`Dynamics.supports_lanes`),
+  so one call evaluates all B*N (or B*N*(nz+1) for the Jacobian tangents)
+  dynamics instances with full lane occupancy;
+- the QP build, Riccati sweep, and bookkeeping stay batch-first (measured
+  cheap) via vmap;
+- the outer loop is one `lax.while_loop` over the whole batch with
+  per-instance convergence/linesearch masks — identical semantics to
+  `jax.vmap(solve)` (tests pin the two against each other).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..params import SolverOptions
+from ..transcribe.shooting import MPCParams, ShootingProblem
+from .riccati import solve_lqr
+from .sqp import CONVERGED, DIVERGED, MAX_ITER, SolveResult
+from .stage_qp import (barrier_value, build_stage_qp, fraction_to_boundary)
+
+Array = jnp.ndarray
+
+
+def _lanes_step(prob: ShootingProblem, xs: Array, us: Array) -> Array:
+    """Discrete step F on lanes-layout states: xs (nx, M), us (nu, M)."""
+    from ..models.integrators import make_step
+    return make_step(prob.dynamics.f, prob.dt, prob.integrator)(xs, us)
+
+
+def _defects_lanes(prob: ShootingProblem, X: Array, U: Array) -> Array:
+    """Continuity residuals for the whole batch: X (B, N+1, nx) ->
+    c (B, N, nx), evaluating all B*N dynamics steps in lanes."""
+    B, Np1, nx = X.shape
+    N = Np1 - 1
+    nu = U.shape[-1]
+    xs = X[:, :-1].reshape(B * N, nx).T      # (nx, B*N)
+    us = U.reshape(B * N, nu).T              # (nu, B*N)
+    xn = _lanes_step(prob, xs, us)           # (nx, B*N)
+    return xn.T.reshape(B, N, nx) - X[:, 1:]
+
+
+def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array):
+    """Stage Jacobians for the whole batch with node x batch in lanes and
+    the (nz+1) tangent fan vmapped at axis 0: returns
+    A (B, N, nx, nx), Bm (B, N, nx, nu), c (B, N, nx)."""
+    B, Np1, nx = X.shape
+    N = Np1 - 1
+    nu = U.shape[-1]
+    nz = nx + nu
+    W = jnp.concatenate([X[:, :-1].reshape(B * N, nx).T,
+                         U.reshape(B * N, nu).T], axis=0)  # (nz, M)
+
+    def stepw(w):
+        return _lanes_step(prob, w[:nx], w[nx:])
+
+    val = stepw(W)                                         # (nx, M)
+
+    def jvp_one(e):
+        t = jnp.broadcast_to(e[:, None], W.shape)
+        return jax.jvp(stepw, (W,), (t,))[1]               # (nx, M)
+
+    J = jax.vmap(jvp_one)(jnp.eye(nz, dtype=X.dtype))      # (nz, nx, M)
+    J = jnp.transpose(J, (2, 1, 0)).reshape(B, N, nx, nz)
+    c = val.T.reshape(B, N, nx) - X[:, 1:]
+    return J[..., :nx], J[..., nx:], c
+
+
+def _cost_separable_batch(X: Array, U: Array, p: MPCParams) -> Array:
+    """Reference cost in separable form, per instance: (B,)."""
+    e = X[:, 1:] - p.x_des
+    j_track = jnp.einsum("bni,bi->b", e * e, p.q)
+    du = jnp.diff(U, axis=1, prepend=p.u_prev[:, None, :])
+    j_rate = jnp.einsum("bni,bi->b", du * du, p.r)
+    j_mag = jnp.einsum("bni,bi->b", U * U, p.rm)
+    ef = X[:, -1] - p.xf_des
+    return j_track + j_rate + j_mag + jnp.einsum("bi,bi->b", ef * ef, p.qf)
+
+
+def _merit_batch(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
+                 mu: Array, nu_pen: Array) -> Array:
+    """l1 merit per instance (B,): separable cost + barrier + nu|c|_1,
+    with the defects evaluated in lanes."""
+    J = _cost_separable_batch(X, U, p)
+    bar_x = jax.vmap(jax.vmap(barrier_value, in_axes=(0, None, None, None)),
+                     in_axes=(0, 0, 0, 0))(X[:, 1:], p.x_min, p.x_max, mu)
+    bar_u = jax.vmap(jax.vmap(barrier_value, in_axes=(0, None, None, None)),
+                     in_axes=(0, 0, 0, 0))(U, p.u_min, p.u_max, mu)
+    c = _defects_lanes(prob, X, U)
+    return (J + bar_x.sum(axis=1) + bar_u.sum(axis=1)
+            + nu_pen * jnp.sum(jnp.abs(c), axis=(1, 2)))
+
+
+class _LoopState(NamedTuple):
+    X: Array
+    U: Array
+    mu: Array
+    reg: Array
+    nu_pen: Array
+    it: Array
+    done: Array
+    status: Array
+    kkt: Array
+    feas: Array
+
+
+def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
+                      X0: Optional[Array] = None, U0: Optional[Array] = None,
+                      opts: SolverOptions = SolverOptions(),
+                      mu0: Optional[Array] = None) -> SolveResult:
+    """Batched solve with identical semantics to jax.vmap(solve) — every
+    input pytree leaf carries a leading batch axis."""
+    assert prob.dynamics.supports_lanes, (
+        f"dynamics {prob.dynamics.name!r} is not lanes-polymorphic; "
+        "use solve_batch (vmap) instead")
+    assert not prob.is_linear, "LTV mode uses the vmapped path"
+    nx, nu, N = prob.nx, prob.nu, prob.N
+    nz = nx + nu
+    B = p.x0.shape[0]
+    dtype = p.x0.dtype
+
+    if X0 is None:
+        X0 = jnp.zeros((B, N + 1, nx), dtype)
+    if U0 is None:
+        U0 = jnp.zeros((B, N, nu), dtype)
+
+    from .sqp import _strict_interior
+    X0 = jnp.concatenate([
+        p.x0[:, None],
+        jax.vmap(lambda xs, lo, hi: jax.vmap(
+            lambda x: _strict_interior(x, lo, hi))(xs))(
+                X0[:, 1:], p.x_min, p.x_max)], axis=1)
+    U0 = jax.vmap(lambda us, lo, hi: jax.vmap(
+        lambda u: _strict_interior(u, lo, hi))(us))(U0, p.u_min, p.u_max)
+
+    has_bounds = (jnp.any(jnp.isfinite(p.u_min), axis=1)
+                  | jnp.any(jnp.isfinite(p.u_max), axis=1)
+                  | jnp.any(jnp.isfinite(p.x_min), axis=1)
+                  | jnp.any(jnp.isfinite(p.x_max), axis=1))   # (B,)
+    mu_floor = jnp.maximum(opts.mu_min, 0.1 * opts.tol)
+    if mu0 is None:
+        mu0 = jnp.asarray(opts.mu_init, dtype)
+    mu_init = jnp.where(has_bounds,
+                        jnp.maximum(jnp.asarray(mu0, dtype), mu_floor),
+                        jnp.asarray(opts.mu_min, dtype))      # (B,)
+    tol = jnp.asarray(opts.tol, dtype)
+    mu_min = jnp.asarray(mu_floor, dtype)
+
+    def body(s: _LoopState) -> _LoopState:
+        lin = _linearize_lanes(prob, s.X, s.U)
+        qp = jax.vmap(
+            lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
+                prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_)))(
+            s.X, s.U, p, s.mu, s.reg, *lin)
+        sol = jax.vmap(lambda q: solve_lqr(q, opts.kkt_backend))(qp)
+        dX = sol.dz[..., :nx]                 # (B, N+1, nx)
+        dU = sol.du                            # (B, N, nu)
+
+        step_norm = jnp.maximum(jnp.max(jnp.abs(dX), axis=(1, 2)),
+                                jnp.max(jnp.abs(dU), axis=(1, 2)))  # (B,)
+        feas = jnp.max(jnp.abs(qp.r), axis=(1, 2))                   # (B,)
+
+        nu_pen = jnp.maximum(
+            s.nu_pen, 2.0 * jnp.max(jnp.abs(sol.lam), axis=(1, 2)) + 1.0)
+
+        a_u = jax.vmap(lambda us, dus, lo, hi: jnp.min(jax.vmap(
+            lambda u, du: fraction_to_boundary(u, du, lo, hi))(us, dus)))(
+            s.U, dU, p.u_min, p.u_max)
+        a_x = jax.vmap(lambda xs, dxs, lo, hi: jnp.min(jax.vmap(
+            lambda x, dx: fraction_to_boundary(x, dx, lo, hi))(xs, dxs)))(
+            s.X[:, 1:], dX[:, 1:], p.x_min, p.x_max)
+        alpha_max = jnp.minimum(a_u, a_x)                            # (B,)
+
+        m0 = _merit_batch(prob, s.X, s.U, p, s.mu, nu_pen)
+        ddir = (jnp.sum(qp.gz[:, 1:] * jnp.concatenate(
+                    [dX[:, 1:-1], dU[:, :-1]], axis=2), axis=(1, 2))
+                + jnp.sum(qp.gu * dU, axis=(1, 2))
+                + jnp.einsum("bi,bi->b", qp.gf, jnp.concatenate(
+                    [dX[:, -1], dU[:, -1]], axis=1))
+                - nu_pen * jnp.sum(jnp.abs(qp.r), axis=(1, 2)))
+
+        def ls_cond(c):
+            a, it, ok = c
+            return jnp.any(~ok) & (it < opts.linesearch_steps)
+
+        def ls_body(c):
+            a, it, ok = c
+            m_new = _merit_batch(prob, s.X + a[:, None, None] * dX,
+                                 s.U + a[:, None, None] * dU, p, s.mu, nu_pen)
+            pass_ = jnp.isfinite(m_new) & (m_new <= m0 + 1e-4 * a * ddir)
+            a_next = jnp.where(ok, a, jnp.where(pass_, a, 0.5 * a))
+            return (a_next, it + 1, ok | pass_)
+
+        alpha, _, any_pass = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha_max, jnp.asarray(0, jnp.int32),
+             jnp.zeros(B, bool)))
+        alpha = jnp.where(any_pass, alpha, 0.0)
+
+        X_new = s.X + alpha[:, None, None] * dX
+        U_new = s.U + alpha[:, None, None] * dU
+        bad = (~jnp.isfinite(alpha)
+               | ~jnp.all(jnp.isfinite(X_new), axis=(1, 2))
+               | ~jnp.all(jnp.isfinite(U_new), axis=(1, 2)))
+        X_new = jnp.where(bad[:, None, None], s.X, X_new)
+        U_new = jnp.where(bad[:, None, None], s.U, U_new)
+        no_move = bad | (alpha == 0.0)
+        reg_new = jnp.where(no_move, jnp.minimum(s.reg * 10.0 + 1e-6, 1e8),
+                            jnp.maximum(s.reg * 0.25, 1e-8))
+
+        inner_done = ((step_norm < jnp.maximum(10.0 * s.mu, tol))
+                      & (feas < 10.0 * tol))
+        mu_new = jnp.where(inner_done,
+                           jnp.maximum(mu_min, opts.kappa_mu * s.mu), s.mu)
+
+        converged = (step_norm < tol) & (feas < tol) & (s.mu <= 2.0 * mu_min)
+        diverged = reg_new >= 1e8
+        status = jnp.where(converged, CONVERGED,
+                           jnp.where(diverged, DIVERGED, s.status))
+        done = converged | diverged
+
+        # Freeze instances that are done OR out of iterations — exactly the
+        # masking jax.vmap applies to a batched while_loop carry.
+        keep = s.done | (s.it >= opts.max_iter)
+        selX = lambda new, old: jnp.where(keep[:, None, None], old, new)
+        sel = lambda new, old: jnp.where(keep, old, new)
+        return _LoopState(
+            X=selX(X_new, s.X), U=selX(U_new, s.U), mu=sel(mu_new, s.mu),
+            reg=sel(reg_new, s.reg), nu_pen=sel(nu_pen, s.nu_pen),
+            it=s.it + jnp.where(keep, 0, 1),
+            done=jnp.where(keep, s.done, s.done | done),
+            status=sel(status, s.status),
+            kkt=sel(step_norm, s.kkt), feas=sel(feas, s.feas))
+
+    def cond(s: _LoopState) -> Array:
+        return jnp.any((~s.done) & (s.it < opts.max_iter))
+
+    init = _LoopState(
+        X=X0, U=U0, mu=mu_init,
+        reg=jnp.full((B,), 1e-8, dtype),
+        nu_pen=jnp.ones((B,), dtype),
+        it=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        status=jnp.full((B,), MAX_ITER, jnp.int32),
+        kkt=jnp.full((B,), jnp.inf, dtype),
+        feas=jnp.full((B,), jnp.inf, dtype))
+
+    final = jax.lax.while_loop(cond, body, init)
+    obj = _cost_batch_reference(prob, final.X, final.U, p)
+    return SolveResult(X=final.X, U=final.U, iters=final.it,
+                       status=final.status, kkt=final.kkt, feas=final.feas,
+                       obj=obj)
+
+
+def _cost_batch_reference(prob, X, U, p):
+    """Reference-form objective per instance (tracking on F(x_k,u_k))."""
+    B, Np1, nx = X.shape
+    N = Np1 - 1
+    nu = U.shape[-1]
+    xs = X[:, :-1].reshape(B * N, nx).T
+    us = U.reshape(B * N, nu).T
+    xn = _lanes_step(prob, xs, us).T.reshape(B, N, nx)
+    e = xn - p.x_des
+    j = jnp.einsum("bni,bi->b", e * e, p.q)
+    du = jnp.diff(U, axis=1, prepend=p.u_prev[:, None, :])
+    j += jnp.einsum("bni,bi->b", du * du, p.r)
+    j += jnp.einsum("bni,bi->b", U * U, p.rm)
+    ef = X[:, -1] - p.xf_des
+    return j + jnp.einsum("bi,bi->b", ef * ef, p.qf)

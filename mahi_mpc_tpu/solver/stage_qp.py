@@ -68,17 +68,20 @@ def barrier_value(v: Array, lo: Array, hi: Array, mu: Array) -> Array:
 
 
 def build_stage_qp(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
-                   mu: Array, reg: Array) -> StageQP:
+                   mu: Array, reg: Array, lin=None) -> StageQP:
     """Linearize + quadraticize at the iterate (X, U).
 
     mu: barrier parameter (scalar); reg: Levenberg regularization added to
-    Huu (scalar).
+    Huu (scalar).  lin: optional precomputed (A, B, c) stage linearization
+    (the lanes-batched solver computes it once for the whole batch with the
+    node/tangent product in TPU lanes — solver/batched.py).
     """
     nx, nu, N = prob.nx, prob.nu, prob.N
     nz = nx + nu
     dtype = X.dtype
 
-    A, B, c = prob.linearize_stages(X, U, p)  # (N,nx,nx), (N,nx,nu), (N,nx)
+    A, B, c = (prob.linearize_stages(X, U, p) if lin is None
+               else lin)  # (N,nx,nx), (N,nx,nu), (N,nx)
 
     # Augmented dynamics dz_{k+1} = [A dx + B du + c ; du].
     Az = jnp.zeros((N, nz, nz), dtype).at[:, :nx, :nx].set(A)

@@ -42,8 +42,9 @@ def test_sharded_matches_single_device():
     X0 = jnp.zeros((B, prob.N + 1, prob.nx), dtype)
     U0 = jnp.zeros((B, prob.N, prob.nu), dtype)
 
-    # single-device reference
-    ref = jax.jit(jax.vmap(lambda p, x, u: solve(prob, p, x, u, opts)))(
+    # single-device reference: the same (lanes) implementation on one device
+    from mahi_mpc_tpu.solver.batched import solve_batch_lanes
+    ref = jax.jit(lambda p, x, u: solve_batch_lanes(prob, p, x, u, opts))(
         pb, X0, U0)
 
     mesh = make_mesh(n_batch=8, n_time=1)
@@ -54,6 +55,9 @@ def test_sharded_matches_single_device():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got.status),
                                   np.asarray(ref.status))
+
+    # (lanes-vs-vmap algorithm equivalence is covered in
+    # tests/test_batched_lanes.py)
 
 
 def test_uneven_batch_not_divisible_by_mesh():
