@@ -163,7 +163,11 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_)))(
             s.X, s.U, p, s.mu, s.reg, *lin)
-        sol = jax.vmap(lambda q: solve_lqr(q, opts.kkt_backend))(qp)
+        if opts.kkt_backend == "pallas":
+            from .pallas_riccati import default_interpret, solve_lqr_pallas_batch
+            sol = solve_lqr_pallas_batch(qp, interpret=default_interpret())
+        else:
+            sol = jax.vmap(lambda q: solve_lqr(q, opts.kkt_backend))(qp)
         dX = sol.dz[..., :nx]                 # (B, N+1, nx)
         dU = sol.du                            # (B, N, nu)
 

@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: lanes-batched block-tridiagonal Riccati solve.
+
+The structured replacement for IPOPT's MUMPS/MA27 sparse factorization
+(reference ``ModelControl.cpp:56``) at TPU throughput: one kernel invocation
+solves the stage-banded KKT systems of 128 MPC instances per grid step, with
+the **scenario batch in the 128-wide lane dimension** and the small
+(nz <= ~16) matrix dimensions in sublanes.  The backward Riccati recursion
+and the forward rollout are fused into a single kernel, so the per-stage
+cost-to-go (P, p) and the feedback gains K/kff never leave VMEM — the only
+HBM traffic is one read of the QP blocks and one write of the solution,
+which is the bandwidth lower bound for this problem.
+
+Why not the MXU: the blocks are tiny (nz x nz with nz ~ 6-16), so a
+128x128 systolic matmul would run at <1% utilization.  Instead every small
+matrix product is expressed as a broadcast-multiply-reduce over the sublane
+dims with the batch riding the lanes — the VPU sees full (8,128) tiles on
+every op (SURVEY.md §7 hard part (a): "win comes from batching thousands of
+instances into the kernel, not from one big factorization").
+
+Cholesky of the (nu x nu) SPD input-Hessian block is unrolled at trace time
+(nu is static and <= ~8) on (1, 128) row vectors — pure VPU elementwise,
+no LAPACK custom call, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .riccati import LQRSolution, _multipliers
+from .stage_qp import StageQP
+
+Array = jnp.ndarray
+
+LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# Small-matrix ops on lanes layout: operands (a, b, L) with L = lane batch.
+# ---------------------------------------------------------------------------
+
+def _mm(A: Array, B: Array) -> Array:
+    """(a, k, L) @ (k, c, L) -> (a, c, L): broadcast-multiply-reduce (VPU)."""
+    return jnp.sum(A[:, :, None, :] * B[None, :, :, :], axis=1)
+
+
+def _mv(A: Array, v: Array) -> Array:
+    """(a, k, L) @ (k, L) -> (a, L)."""
+    return jnp.sum(A * v[None, :, :], axis=1)
+
+
+def _tr(A: Array) -> Array:
+    return jnp.swapaxes(A, 0, 1)
+
+
+def _chol_lanes(Q: Array, eps: float = 1e-12) -> List[List[Array]]:
+    """Unrolled Cholesky of an SPD (n, n, L) stack: returns the lower factor
+    as a list-of-lists of (1, L) row vectors (trace-time unrolled, n static).
+    Mirrors ops/linalg.chol_small (the scan backend's factorization) so the
+    two backends agree to roundoff."""
+    n = Q.shape[0]
+    L: List[List[Array]] = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = Q[i:i + 1, j, :]                      # (1, L)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _cho_solve_mat(L: List[List[Array]], B: Array) -> Array:
+    """Solve (L L') X = B for B (n, m, L_lanes) given the unrolled factor."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = B[i]                                      # (m, L_lanes)
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=0)                       # (n, m, L_lanes)
+
+
+# ---------------------------------------------------------------------------
+# The kernel: one grid step = one 128-instance lane tile, full horizon.
+# ---------------------------------------------------------------------------
+
+def _riccati_kernel(Az_ref, Bz_ref, r_ref, Hzz_ref, Hzu_ref, Huu_ref,
+                    gz_ref, gu_ref, Hf_ref, gf_ref,
+                    dz_ref, du_ref,
+                    Ks_ref, kff_ref, *, N: int, nz: int, nu: int):
+    dtype = gf_ref.dtype
+
+    def load(ref, k):
+        return ref[pl.ds(k, 1)][0]
+
+    # ---- backward Riccati sweep: carry (P, p) in registers/VMEM ----
+    def backward(i, carry):
+        P, pv = carry                                 # (nz,nz,L), (nz,L)
+        k = N - 1 - i
+        A = load(Az_ref, k)                           # (nz, nz, L)
+        Bm = load(Bz_ref, k)                          # (nz, nu, L)
+        rk = load(r_ref, k)                           # (nz, L)
+
+        Prp = pv + _mv(P, rk)
+        AtP = _mm(_tr(A), P)                          # (nz, nz, L)
+        Qzz = load(Hzz_ref, k) + _mm(AtP, A)
+        Qzu = load(Hzu_ref, k) + _mm(AtP, Bm)         # (nz, nu, L)
+        BtP = _mm(_tr(Bm), P)                         # (nu, nz, L)
+        Quu = load(Huu_ref, k) + _mm(BtP, Bm)         # (nu, nu, L)
+        qz = load(gz_ref, k) + _mv(_tr(A), Prp)
+        qu = load(gu_ref, k) + _mv(_tr(Bm), Prp)      # (nu, L)
+
+        Lc = _chol_lanes(Quu)
+        K = -_cho_solve_mat(Lc, _tr(Qzu))             # (nu, nz, L)
+        kff = -_cho_solve_mat(Lc, qu[:, None, :])[:, 0, :]   # (nu, L)
+
+        Pn = Qzz + _mm(Qzu, K)
+        Pn = 0.5 * (Pn + _tr(Pn))
+        pn = qz + _mv(Qzu, kff)
+
+        Ks_ref[pl.ds(k, 1)] = K[None]
+        kff_ref[pl.ds(k, 1)] = kff[None]
+        return Pn, pn
+
+    P0 = Hf_ref[:]                                    # (nz, nz, L)
+    p0 = gf_ref[:]                                    # (nz, L)
+    jax.lax.fori_loop(0, N, backward, (P0, p0))
+
+    # ---- forward rollout: dz_0 = 0 (node 0 pinned to the measurement) ----
+    dz_ref[pl.ds(0, 1)] = jnp.zeros((1, nz, LANES), dtype)
+
+    def forward(k, dz):
+        K = load(Ks_ref, k)
+        kff = load(kff_ref, k)
+        du = _mv(K, dz) + kff                          # (nu, L)
+        du_ref[pl.ds(k, 1)] = du[None]
+        dzn = _mv(load(Az_ref, k), dz) + _mv(load(Bz_ref, k), du) + load(r_ref, k)
+        dz_ref[pl.ds(k + 1, 1)] = dzn[None]
+        return dzn
+
+    jax.lax.fori_loop(0, N, forward, jnp.zeros((nz, LANES), dtype))
+
+
+def _to_lanes(a: Array) -> Array:
+    """(B, ...) -> (..., B): scenario batch into the trailing lane dim."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _from_lanes(a: Array, B: int) -> Array:
+    return jnp.moveaxis(a, -1, 0)[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
+                           ) -> LQRSolution:
+    """Solve a *batched* StageQP (every leaf carries a leading scenario-batch
+    axis B) with the fused Pallas Riccati kernel.  Returns the same
+    LQRSolution as ``jax.vmap(solve_lqr_scan)`` to roundoff (tests pin it).
+    """
+    B, N, nz = qp.Az.shape[0], qp.Az.shape[1], qp.Az.shape[2]
+    nu = qp.Bz.shape[3]
+    dtype = qp.gf.dtype
+
+    Bp = -(-B // LANES) * LANES
+    pad = Bp - B
+
+    def prep(a):
+        if pad:
+            # Edge-replicate so padded lanes stay numerically benign.
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        return _to_lanes(a)
+
+    ins = tuple(prep(a) for a in (qp.Az, qp.Bz, qp.r, qp.Hzz, qp.Hzu,
+                                  qp.Huu, qp.gz, qp.gu, qp.Hf, qp.gf))
+    nb = Bp // LANES
+
+    def spec(a):
+        # Full block in every dim but the lanes; grid walks lane tiles.
+        shape = a.shape[:-1] + (LANES,)
+        nd = len(shape)
+        return pl.BlockSpec(shape,
+                            lambda b, nd=nd: (0,) * (nd - 1) + (b,),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_riccati_kernel, N=N, nz=nz, nu=nu)
+    dz_l, du_l = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[spec(a) for a in ins],
+        out_shape=(
+            jax.ShapeDtypeStruct((N + 1, nz, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+        ),
+        out_specs=(
+            pl.BlockSpec((N + 1, nz, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, nu, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, nu, nz, LANES), dtype),    # feedback gains K
+            pltpu.VMEM((N, nu, LANES), dtype),        # feedforwards kff
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    dz = _from_lanes(dz_l, B)                         # (B, N+1, nz)
+    du = _from_lanes(du_l, B)                         # (B, N, nu)
+    # Continuity multipliers via the (cheap) adjoint scan — needed only for
+    # the l1 penalty update and KKT reporting, so they stay outside the
+    # kernel's hot path.
+    lam = jax.vmap(_multipliers)(qp, dz, du)
+    return LQRSolution(dz=dz, du=du, lam=lam)
+
+
+def default_interpret() -> bool:
+    """Pallas TPU kernels run natively on TPU; everywhere else (the CPU test
+    mesh) they run in interpreter mode."""
+    return jax.default_backend() != "tpu"
