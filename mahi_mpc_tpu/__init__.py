@@ -8,14 +8,11 @@ kernel, or parallel-in-time associative scan), and a warm-started
 receding-horizon runtime with an asynchronous plan service.
 """
 
-import jax as _jax
-
-# TPU MXU matmuls default to bfloat16 inputs; Newton/Riccati directions
-# computed at bf16 stall the SQP far from tolerance (observed: 28% vs 100%
-# convergence TPU-vs-CPU on identical programs).  An optimization library
-# needs true fp32 contractions; the flops cost is irrelevant at our matrix
-# sizes (bandwidth-bound).
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: TPU MXU matmuls default to bfloat16 inputs, which
+# stalls Newton/Riccati directions far from tolerance.  Rather than mutating
+# global config at import time, every solver entry point scopes
+# jax.default_matmul_precision("highest") around its own trace
+# (ops/precision.py) — user programs keep their own precision policy.
 
 from .params import ModelParameters, SolverOptions, TrajectoryParameters
 from . import models

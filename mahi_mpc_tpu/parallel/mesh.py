@@ -67,9 +67,18 @@ def _pad_to_multiple(a: Array, m: int) -> Array:
 def shard_params(p_batch: MPCParams, mesh: Mesh) -> MPCParams:
     """Place a batched MPCParams pytree with the batch axis sharded.
     Batches not divisible by the mesh's batch axis are padded by repeating
-    the last instance (callers slice results back with the original size)."""
+    the last instance (callers slice results back with the original size).
+    Multi-process safe: under a multi-host launch each process contributes
+    the shards it owns (``jax.device_put`` only handles addressable
+    devices)."""
     spec = batch_spec(mesh)
     nb = mesh.shape["batch"]
+    if jax.process_count() > 1:
+        def place(a):
+            v = np.asarray(_pad_to_multiple(jnp.asarray(a), nb))
+            return jax.make_array_from_callback(
+                v.shape, spec, lambda idx: v[idx])
+        return jax.tree.map(place, p_batch)
     return jax.tree.map(
         lambda a: jax.device_put(_pad_to_multiple(a, nb), spec), p_batch)
 
@@ -143,6 +152,12 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
     U0 = jnp.zeros((n, prob.N, prob.nu), dtype)
     fn = make_sharded_solver(prob, mesh, opts, donate_warm_start=False)
     p_batch = shard_params(p_batch, mesh)
+    if jax.process_count() > 1:
+        spec = batch_spec(mesh)
+        Zx = np.zeros(X0.shape, dtype)
+        Zu = np.zeros(U0.shape, dtype)
+        X0 = jax.make_array_from_callback(Zx.shape, spec, lambda idx: Zx[idx])
+        U0 = jax.make_array_from_callback(Zu.shape, spec, lambda idx: Zu[idx])
     res = fn(p_batch, X0, U0)
     jax.block_until_ready(res)  # compile + warm
     t0 = time.perf_counter()
@@ -150,12 +165,20 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
         res = fn(p_batch, X0, U0)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / iters
+    # Replicated reductions so the scalars are addressable from every
+    # process under a multi-host launch.
+    rep = NamedSharding(mesh, P())
+    reduce = jax.jit(
+        lambda it, st: (jnp.mean(it.astype(jnp.float32)),
+                        jnp.mean((st == 0).astype(jnp.float32))),
+        out_shardings=(rep, rep))
+    mean_iters, conv = reduce(res.iters, res.status)
     return {
         "batch": n,
         "devices": mesh.devices.size,
         "wall_s_per_solve_batch": dt,
         "solves_per_s": n / dt,
         "solves_per_s_per_device": n / dt / mesh.devices.size,
-        "mean_iters": float(jnp.mean(res.iters)),
-        "converged_frac": float(jnp.mean((res.status == 0).astype(jnp.float32))),
+        "mean_iters": float(mean_iters),
+        "converged_frac": float(conv),
     }

@@ -184,6 +184,12 @@ class SolverOptions:
     kkt_backend: str = "riccati"  # "riccati" | "dense" | "pariccati" | "pallas"
     dtype: str = "float32"
     warm_mu_factor: float = 10.0  # warm re-solves start at factor*tol barrier
+    # Pin the first k controls of each solve to their warm-start values
+    # (reference ``m_num_control_inputs_saved``: intended at
+    # ``ModelControl.cpp:165-171`` but a no-op there since the field is never
+    # set, ``ModelControl.hpp:79``.  Here it works: the solver freezes
+    # du_0..du_{k-1} = 0, so already-committed controls are not re-planned.)
+    num_control_inputs_saved: int = 0
 
 
 @dataclasses.dataclass

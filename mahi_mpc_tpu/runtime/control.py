@@ -263,24 +263,26 @@ class ModelControl:
         mu0 = self._mu_warm if self._is_warm else self._mu_cold
         t0 = time.perf_counter()
         res: SolveResult = self._solve_fn(p, self._X0, self._U0, mu0)
-        jax.block_until_ready(res)
+        # One blocking device->host transfer for the whole result pytree
+        # (round 1 did 5+ separate scalar pulls on this 1 kHz hot path).
+        host = jax.device_get(res)
         dt = time.perf_counter() - t0
 
-        ok = (int(res.status) != DIVERGED and
-              bool(jnp.all(jnp.isfinite(res.X))) and
-              bool(jnp.all(jnp.isfinite(res.U))))
-        self.stats.record(dt, int(res.iters), ok)
+        ok = (int(host.status) != DIVERGED and
+              bool(np.all(np.isfinite(host.X))) and
+              bool(np.all(np.isfinite(host.U))))
+        self.stats.record(dt, int(host.iters), ok)
         if not ok:
             # Stale-plan fallback (SURVEY.md §5 failure detection).
             return self._plan
 
-        self._X0, self._U0 = res.X, res.U  # warm start next solve
+        self._X0, self._U0 = res.X, res.U  # warm start next solve (on device)
         self._is_warm = True
         times = t + np.arange(mp.num_shooting_nodes + 1) * mp.step_size
-        plan = Plan(times=times, X=np.asarray(res.X), U=np.asarray(res.U),
-                    iters=int(res.iters), status=int(res.status),
-                    kkt=float(res.kkt), feas=float(res.feas),
-                    obj=float(res.obj), solve_time_s=dt)
+        plan = Plan(times=times, X=host.X, U=host.U,
+                    iters=int(host.iters), status=int(host.status),
+                    kkt=float(host.kkt), feas=float(host.feas),
+                    obj=float(host.obj), solve_time_s=dt)
         self._plan = plan  # atomic swap
         if self._native is not None:
             self._native.publish(plan.times, plan.X, plan.U)

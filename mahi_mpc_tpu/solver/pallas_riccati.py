@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.precision import highest_precision
 from .riccati import LQRSolution, _multipliers
 from .stage_qp import StageQP
 
@@ -58,11 +59,14 @@ def _tr(A: Array) -> Array:
     return jnp.swapaxes(A, 0, 1)
 
 
-def _chol_lanes(Q: Array, eps: float = 1e-12) -> List[List[Array]]:
+def _chol_lanes(Q: Array) -> List[List[Array]]:
     """Unrolled Cholesky of an SPD (n, n, L) stack: returns the lower factor
     as a list-of-lists of (1, L) row vectors (trace-time unrolled, n static).
     Mirrors ops/linalg.chol_small (the scan backend's factorization) so the
-    two backends agree to roundoff."""
+    two backends agree to roundoff — including the degenerate case: a pivot
+    that loses positive definiteness yields NaN here exactly as in
+    chol_small, and the SQP's finite-step guard rejects the step for both
+    backends identically."""
     n = Q.shape[0]
     L: List[List[Array]] = [[None] * n for _ in range(n)]
     for i in range(n):
@@ -71,7 +75,7 @@ def _chol_lanes(Q: Array, eps: float = 1e-12) -> List[List[Array]]:
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+                L[i][j] = jnp.sqrt(s)
             else:
                 L[i][j] = s / L[j][j]
     return L
@@ -166,6 +170,7 @@ def _from_lanes(a: Array, B: int) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@highest_precision
 def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
                            ) -> LQRSolution:
     """Solve a *batched* StageQP (every leaf carries a leading scenario-batch
@@ -189,6 +194,25 @@ def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
     ins = tuple(prep(a) for a in (qp.Az, qp.Bz, qp.r, qp.Hzz, qp.Hzu,
                                   qp.Huu, qp.gz, qp.gu, qp.Hf, qp.gf))
     nb = Bp // LANES
+
+    # The kernel pins all QP inputs, both outputs, and the K/kff scratch in
+    # VMEM per grid step (one 128-wide lane tile).  Estimate the footprint at
+    # trace time and fail with a readable error instead of an opaque VMEM
+    # exhaustion message from Mosaic (ADVICE r1).
+    itemsize = jnp.dtype(dtype).itemsize
+    per_tile_elems = (
+        N * (2 * nz * nz + 2 * nz * nu + nu * nu + 2 * nz + 2 * nu)  # inputs
+        + nz * nz + nz                                               # Hf, gf
+        + (N + 1) * nz + N * nu                                      # outputs
+        + N * nu * nz + N * nu)                                      # scratch
+    vmem_bytes = per_tile_elems * LANES * itemsize
+    VMEM_BUDGET = 14 * 2 ** 20  # ~16 MB/core minus headroom
+    if vmem_bytes > VMEM_BUDGET:
+        raise ValueError(
+            f"pallas Riccati kernel needs ~{vmem_bytes / 2**20:.1f} MiB of "
+            f"VMEM per lane tile (N={N}, nz={nz}, nu={nu}), over the "
+            f"~{VMEM_BUDGET / 2**20:.0f} MiB budget; use "
+            "kkt_backend='riccati' (scan) for this problem size")
 
     def spec(a):
         # Full block in every dim but the lanes; grid walks lane tiles.

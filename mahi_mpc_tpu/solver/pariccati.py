@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linalg import chol_small, cho_solve_small, solve_small
+from ..ops.precision import highest_precision
 from .riccati import LQRSolution, register_backend
 from .stage_qp import StageQP
 
@@ -76,6 +77,7 @@ def _combine(e1: _Element, e2: _Element) -> _Element:
     return _Element(A12, B12, C12, D12, e12, f12)
 
 
+@highest_precision
 def solve_lqr_parallel(qp: StageQP) -> LQRSolution:
     """O(log N)-depth LQR solve; same interface/results as solve_lqr_scan."""
     N, nz, nu = qp.Az.shape[0], qp.Az.shape[1], qp.Bz.shape[2]

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linalg import chol_small, cho_solve_small
+from ..ops.precision import highest_precision
 from .stage_qp import StageQP
 
 Array = jnp.ndarray
@@ -31,6 +32,7 @@ class LQRSolution(NamedTuple):
     lam: Array     # (N+1, nz) multiplier estimates (value-function gradients)
 
 
+@highest_precision
 def solve_lqr_scan(qp: StageQP) -> LQRSolution:
     """Backward Riccati recursion + forward substitution as lax.scan."""
 
@@ -95,6 +97,7 @@ def _multipliers(qp: StageQP, dz: Array, du: Array) -> Array:
         [jnp.zeros_like(dz[:1]), lams, lamN[None]], axis=0)
 
 
+@highest_precision
 def solve_lqr_dense(qp: StageQP) -> LQRSolution:
     """Oracle: assemble the full KKT system over w = [du_0..du_{N-1},
     dz_1..dz_N] with equality constraints dz_{k+1} = Az dz_k + Bz du_k + r and
@@ -157,6 +160,16 @@ def solve_lqr(qp: StageQP, backend: str = "riccati") -> LQRSolution:
         return solve_lqr_scan(qp)
     if backend == "dense":
         return solve_lqr_dense(qp)
+    if backend == "pallas":
+        # Single-instance adapter around the lanes-batched kernel (the kernel
+        # itself wants >=128 instances in lanes; a lone instance pads up, so
+        # this path is for correctness/uniformity — solve_batch_lanes feeds
+        # the kernel whole batches).
+        from .pallas_riccati import default_interpret, solve_lqr_pallas_batch
+        sol = solve_lqr_pallas_batch(
+            jax.tree.map(lambda a: a[None], qp),
+            interpret=default_interpret())
+        return jax.tree.map(lambda a: a[0], sol)
     if backend in _BACKENDS:
         return _BACKENDS[backend](qp)
     raise ValueError(f"unknown KKT backend {backend!r}")

@@ -68,13 +68,21 @@ def barrier_value(v: Array, lo: Array, hi: Array, mu: Array) -> Array:
 
 
 def build_stage_qp(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
-                   mu: Array, reg: Array, lin=None) -> StageQP:
+                   mu: Array, reg: Array, lin=None, n_pin: int = 0) -> StageQP:
     """Linearize + quadraticize at the iterate (X, U).
 
     mu: barrier parameter (scalar); reg: Levenberg regularization added to
     Huu (scalar).  lin: optional precomputed (A, B, c) stage linearization
     (the lanes-batched solver computes it once for the whole batch with the
     node/tangent product in TPU lanes — solver/batched.py).
+
+    n_pin: freeze the first ``n_pin`` controls at their current iterate
+    values (working version of the reference's ``m_num_control_inputs_saved``
+    head-control pinning, a no-op there — ``ModelControl.cpp:165-171``,
+    ``hpp:79``).  Implemented purely in the QP: pinned stages get Bz = 0,
+    Hzu = 0, gu = 0, Huu = I, which makes every KKT backend return
+    du_k = 0 exactly, with the state prediction still flowing through the
+    frozen u_k via the defect linearization.
     """
     nx, nu, N = prob.nx, prob.nu, prob.N
     nz = nx + nu
@@ -131,6 +139,14 @@ def build_stage_qp(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
         twoQ + twoQf + hN_b)
     gf = jnp.concatenate([twoQ * eN + twoQf * eF + gN_b,
                           jnp.zeros(nu, dtype)])
+
+    if not (isinstance(n_pin, int) and n_pin == 0):
+        pin = jnp.arange(N) < n_pin
+        eye_u = jnp.eye(nu, dtype=dtype)
+        Bz = jnp.where(pin[:, None, None], 0.0, Bz)
+        Hzu = jnp.where(pin[:, None, None], 0.0, Hzu)
+        gu = jnp.where(pin[:, None], 0.0, gu)
+        Huu = jnp.where(pin[:, None, None], eye_u, Huu)
 
     return StageQP(Az, Bz, r, Hzz, Hzu, Huu, gz, gu, Hf, gf)
 
