@@ -119,7 +119,8 @@ def make_serial_arm(name: str, links: List[LinkSpec],
         _, _, cs, Rs = fk_full(q)
         return jnp.stack(cs), jnp.stack(Rs)
 
-    def _mass_and_gravity(q: Array) -> Tuple[Array, Array]:
+    def _mass_and_gravity(q: Array, with_g: bool = True
+                          ) -> Tuple[Array, Array]:
         """Explicit geometric-Jacobian assembly:
         M = sum_i m_i Jv_i' Jv_i + Jw_i' (R_i I_i R_i') Jw_i,
         G_j = -sum_i m_i gvec . Jv_i[:, j]   (gravity torque, no autodiff).
@@ -144,8 +145,9 @@ def make_serial_arm(name: str, links: List[LinkSpec],
                       jnp.swapaxes(R[i], 0, 1))
             IwJw = [_mv3(Iw, Jw[k]) for k in range(n)]
             for a in range(n):
-                G[a] = G[a] - masses_[i] * jnp.einsum("i...,i->...",
-                                                      Jv[a], gvec_)
+                if with_g:
+                    G[a] = G[a] - masses_[i] * jnp.einsum("i...,i->...",
+                                                          Jv[a], gvec_)
                 for b in range(a, n):
                     contrib = (masses_[i] * jnp.sum(Jv[a] * Jv[b], axis=0)
                                + jnp.sum(Jw[a] * IwJw[b], axis=0))
@@ -169,41 +171,88 @@ def make_serial_arm(name: str, links: List[LinkSpec],
         heights = jnp.einsum("li...,i->l...", cs, gvec.astype(q.dtype))
         return -jnp.einsum("l...,l->...", heights, masses.astype(q.dtype))
 
-    def bias(q: Array, qd: Array) -> Array:
-        """h(q, qd) = C(q, qd) qd + grav(q):
-        h = Mdot qd - 1/2 d(qd' M qd)/dq + G, with dM/dq_j obtained from n
-        forward-mode passes over the explicit mass-matrix graph."""
-        S = q.shape[1:]
-        Mdot = None
-        dKE = []
-        for j in range(n):
-            ej = jnp.broadcast_to(
-                jnp.eye(n, dtype=q.dtype)[j].reshape((n,) + (1,) * len(S)),
-                q.shape)
-            Mj = jax.jvp(mass_matrix, (q,), (ej,))[1]
-            dKE.append(0.5 * jnp.einsum("i...,ij...,j...->...", qd, Mj, qd))
-            contrib = qd[j] * Mj
-            Mdot = contrib if Mdot is None else Mdot + contrib
+    def _coriolis_qd(q: Array, qd: Array) -> Array:
+        """C(q, qd) qd = Mdot qd - 1/2 d(qd' M qd)/dq with exactly two AD
+        sweeps over the mass-matrix graph (instead of n basis-vector passes,
+        which made the SQP's linearization third-order AD over an n-times
+        duplicated graph — the round-1 compile bomb):
+          Mdot      = sum_j qd_j dM/dq_j = jvp(M, q; qd)       (one jvp)
+          dKE/dq    = vjp(M, q)(1/2 qd qd')                     (one vjp)
+        using KE = 1/2 tr(M qd qd') so the cotangent of M is 1/2 qd qd'."""
+        Mdot = jax.jvp(mass_matrix, (q,), (qd,))[1]
+        _, pullback = jax.vjp(mass_matrix, q)
+        half_outer = 0.5 * qd[:, None] * qd[None, :]
+        dKE = pullback(half_outer)[0]                  # (n, ...)
+        return jnp.einsum("ij...,j...->i...", Mdot, qd) - dKE
+
+    def bias_lagrangian(q: Array, qd: Array) -> Array:
+        """h(q, qd) = C(q, qd) qd + grav(q), via two AD sweeps over the
+        mass-matrix graph.  Kept as the cross-validation oracle for the RNEA
+        bias below (tests pin the two to roundoff)."""
         _, G = _mass_and_gravity(q)
-        return (jnp.einsum("ij...,j...->i...", Mdot, qd)
-                - jnp.stack(dKE, axis=0) + G)
+        return _coriolis_qd(q, qd) + G
+
+    def bias(q: Array, qd: Array) -> Array:
+        """h(q, qd) = C(q, qd) qd + grav(q) via recursive Newton-Euler with
+        qdd = 0 in the world frame — an explicit O(n) graph with NO autodiff.
+
+        The Lagrangian form above traces the whole mass-matrix assembly
+        three times (primal + jvp + vjp), which made the 4-DOF arm's f graph
+        5.4k StableHLO lines and the SQP linearization (jvp over f) 18.8k —
+        the dominant term of the 43k-line solve program that stalled the TPU
+        remote compiler (round-1 bench timeout).  RNEA keeps the f graph a
+        single fk pass plus two O(n) sweeps.
+
+        Gravity enters by the standard base-acceleration trick: the base
+        frame "accelerates" at -gvec, so every link feels the gravito-
+        inertial force without a separate potential-gradient pass."""
+        o, z, c, R = fk_full(q)
+        S = q.shape[1:]
+        inertias_ = inertias.astype(q.dtype)
+        masses_ = masses.astype(q.dtype)
+        mg = (-gvec).astype(q.dtype)       # base acceleration = -g
+        zero3 = jnp.zeros((3,) + S, q.dtype)
+
+        # Forward sweep: angular velocity/acceleration of each link, linear
+        # acceleration of each joint origin and COM (qdd = 0).
+        w_prev, al_prev = zero3, zero3
+        a_prev = jnp.broadcast_to(mg.reshape((3,) + (1,) * len(S)),
+                                  (3,) + S)                      # a_{o_{-1}}
+        o_prev = zero3
+        ws, als, acs = [], [], []
+        for i in range(n):
+            d = o[i] - o_prev                  # segment rigid in link i-1
+            a_oi = (a_prev + _cross3(al_prev, d)
+                    + _cross3(w_prev, _cross3(w_prev, d)))
+            w_i = w_prev + z[i] * qd[i]
+            al_i = al_prev + _cross3(w_prev, z[i] * qd[i])
+            rc = c[i] - o[i]                   # COM offset rigid in link i
+            a_ci = (a_oi + _cross3(al_i, rc)
+                    + _cross3(w_i, _cross3(w_i, rc)))
+            ws.append(w_i); als.append(al_i); acs.append(a_ci)
+            w_prev, al_prev, a_prev, o_prev = w_i, al_i, a_oi, o[i]
+
+        # Backward sweep: accumulate forces/moments toward the base.
+        taus: list = [None] * n
+        f_child = zero3
+        n_child = zero3
+        o_child = o[n - 1]                     # placeholder, f_child = 0
+        for i in reversed(range(n)):
+            Iw = _mm3(R[i] * inertias_[i].reshape((1, 3) + (1,) * len(S)),
+                      jnp.swapaxes(R[i], 0, 1))
+            F_i = masses_[i] * acs[i]
+            N_i = _mv3(Iw, als[i]) + _cross3(ws[i], _mv3(Iw, ws[i]))
+            n_i = (N_i + _cross3(c[i] - o[i], F_i)
+                   + n_child + _cross3(o_child - o[i], f_child))
+            f_i = F_i + f_child
+            taus[i] = jnp.sum(z[i] * n_i, axis=0)
+            f_child, n_child, o_child = f_i, n_i, o[i]
+        return jnp.stack(taus, axis=0)
 
     def f(x: Array, u: Array) -> Array:
         q, qd = x[:n], x[n:]
-        M, G = _mass_and_gravity(q)
-        Mdot = None
-        dKE = []
-        S = q.shape[1:]
-        for j in range(n):
-            ej = jnp.broadcast_to(
-                jnp.eye(n, dtype=q.dtype)[j].reshape((n,) + (1,) * len(S)),
-                q.shape)
-            Mj = jax.jvp(mass_matrix, (q,), (ej,))[1]
-            dKE.append(0.5 * jnp.einsum("i...,ij...,j...->...", qd, Mj, qd))
-            contrib = qd[j] * Mj
-            Mdot = contrib if Mdot is None else Mdot + contrib
-        h = (jnp.einsum("ij...,j...->i...", Mdot, qd)
-             - jnp.stack(dKE, axis=0) + G)
+        M, _ = _mass_and_gravity(q, with_g=False)
+        h = bias(q, qd)
         # SPD mass matrix: unrolled Cholesky solve in lanes layout
         # (ops/linalg.py) — no LAPACK custom calls, fuses on TPU, and the
         # trailing batch rides in lanes.
@@ -214,6 +263,7 @@ def make_serial_arm(name: str, links: List[LinkSpec],
     # Expose internals for tests and tooling (frozen dataclass -> object.__setattr__).
     object.__setattr__(dyn, "mass_matrix", mass_matrix)
     object.__setattr__(dyn, "bias", bias)
+    object.__setattr__(dyn, "bias_lagrangian", bias_lagrangian)
     object.__setattr__(dyn, "fk", fk)
     return dyn
 

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import highest_precision
 from ..params import SolverOptions
 from ..transcribe.shooting import MPCParams, ShootingProblem
 from .riccati import solve_lqr
@@ -88,17 +89,22 @@ def _cost_separable_batch(X: Array, U: Array, p: MPCParams) -> Array:
     return j_track + j_rate + j_mag + jnp.einsum("bi,bi->b", ef * ef, p.qf)
 
 
-def _merit_batch(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
-                 mu: Array, nu_pen: Array) -> Array:
-    """l1 merit per instance (B,): separable cost + barrier + nu|c|_1,
-    with the defects evaluated in lanes."""
+def _merit_smooth_batch(X: Array, U: Array, p: MPCParams, mu: Array) -> Array:
+    """Cost + barrier (everything except the l1 defect penalty): (B,)."""
     J = _cost_separable_batch(X, U, p)
     bar_x = jax.vmap(jax.vmap(barrier_value, in_axes=(0, None, None, None)),
                      in_axes=(0, 0, 0, 0))(X[:, 1:], p.x_min, p.x_max, mu)
     bar_u = jax.vmap(jax.vmap(barrier_value, in_axes=(0, None, None, None)),
                      in_axes=(0, 0, 0, 0))(U, p.u_min, p.u_max, mu)
+    return J + bar_x.sum(axis=1) + bar_u.sum(axis=1)
+
+
+def _merit_batch(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
+                 mu: Array, nu_pen: Array) -> Array:
+    """l1 merit per instance (B,): separable cost + barrier + nu|c|_1,
+    with the defects evaluated in lanes."""
     c = _defects_lanes(prob, X, U)
-    return (J + bar_x.sum(axis=1) + bar_u.sum(axis=1)
+    return (_merit_smooth_batch(X, U, p, mu)
             + nu_pen * jnp.sum(jnp.abs(c), axis=(1, 2)))
 
 
@@ -115,6 +121,7 @@ class _LoopState(NamedTuple):
     feas: Array
 
 
+@highest_precision
 def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
                       X0: Optional[Array] = None, U0: Optional[Array] = None,
                       opts: SolverOptions = SolverOptions(),
@@ -161,7 +168,8 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
         lin = _linearize_lanes(prob, s.X, s.U)
         qp = jax.vmap(
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
-                prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_)))(
+                prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
+                n_pin=opts.num_control_inputs_saved))(
             s.X, s.U, p, s.mu, s.reg, *lin)
         if opts.kkt_backend == "pallas":
             from .pallas_riccati import default_interpret, solve_lqr_pallas_batch
@@ -186,23 +194,33 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
             s.X[:, 1:], dX[:, 1:], p.x_min, p.x_max)
         alpha_max = jnp.minimum(a_u, a_x)                            # (B,)
 
-        m0 = _merit_batch(prob, s.X, s.U, p, s.mu, nu_pen)
+        # m0's defects are exactly the linearization residuals already in
+        # qp.r — reuse them instead of tracing another full dynamics pass
+        # (one fewer f-graph copy in the compiled program).
+        r_l1 = jnp.sum(jnp.abs(qp.r), axis=(1, 2))
+        m0 = _merit_smooth_batch(s.X, s.U, p, s.mu) + nu_pen * r_l1
         ddir = (jnp.sum(qp.gz[:, 1:] * jnp.concatenate(
                     [dX[:, 1:-1], dU[:, :-1]], axis=2), axis=(1, 2))
                 + jnp.sum(qp.gu * dU, axis=(1, 2))
                 + jnp.einsum("bi,bi->b", qp.gf, jnp.concatenate(
                     [dX[:, -1], dU[:, -1]], axis=1))
-                - nu_pen * jnp.sum(jnp.abs(qp.r), axis=(1, 2)))
+                - nu_pen * r_l1)
 
         def ls_cond(c):
             a, it, ok = c
             return jnp.any(~ok) & (it < opts.linesearch_steps)
 
+        # Armijo with an fp32 noise floor (see sqp.py ls_body): without it
+        # the exact test rejects good Newton steps once the predicted
+        # decrease drops below merit roundoff, grinding warm re-solves.
+        eps_m = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(m0))
+
         def ls_body(c):
             a, it, ok = c
             m_new = _merit_batch(prob, s.X + a[:, None, None] * dX,
                                  s.U + a[:, None, None] * dU, p, s.mu, nu_pen)
-            pass_ = jnp.isfinite(m_new) & (m_new <= m0 + 1e-4 * a * ddir)
+            pass_ = jnp.isfinite(m_new) & (
+                m_new <= m0 + 1e-4 * a * ddir + eps_m)
             a_next = jnp.where(ok, a, jnp.where(pass_, a, 0.5 * a))
             return (a_next, it + 1, ok | pass_)
 

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import highest_precision
 from ..params import SolverOptions
 from ..transcribe.shooting import MPCParams, ShootingProblem
 from .riccati import solve_lqr
@@ -74,6 +75,7 @@ def _strict_interior(v: Array, lo: Array, hi: Array, delta: float = 1e-3) -> Arr
     return jnp.clip(v, lo_c, hi_c)
 
 
+@highest_precision
 def solve(prob: ShootingProblem, p: MPCParams,
           X0: Optional[Array] = None, U0: Optional[Array] = None,
           opts: SolverOptions = SolverOptions(),
@@ -117,7 +119,8 @@ def solve(prob: ShootingProblem, p: MPCParams,
     mu_min = jnp.asarray(mu_floor, dtype)
 
     def body(s: _LoopState) -> _LoopState:
-        qp = build_stage_qp(prob, s.X, s.U, p, s.mu, s.reg)
+        qp = build_stage_qp(prob, s.X, s.U, p, s.mu, s.reg,
+                            n_pin=opts.num_control_inputs_saved)
         sol = solve_lqr(qp, opts.kkt_backend)
         dX = sol.dz[:, :nx]
         dU = sol.du
@@ -155,10 +158,19 @@ def solve(prob: ShootingProblem, p: MPCParams,
             a, m, it, ok = c
             return (~ok) & (it < opts.linesearch_steps)
 
+        # Armijo with an fp32 noise floor: near convergence the predicted
+        # decrease 1e-4*a*ddir is orders of magnitude below the merit's
+        # roundoff (eps*|m0| ~ 3e-5 at m0 ~ 300), so the exact test becomes
+        # a coin flip that rejects good Newton steps and grinds the warm
+        # re-solve from ~5 to ~30+ iterations.  Accepting within the noise
+        # floor restores full steps (IPOPT's acceptable-point relaxation).
+        eps_m = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(m0))
+
         def ls_body(c):
             a, m, it, ok = c
             m_new = try_alpha(a)
-            pass_ = jnp.isfinite(m_new) & (m_new <= m0 + 1e-4 * a * ddir)
+            pass_ = jnp.isfinite(m_new) & (
+                m_new <= m0 + 1e-4 * a * ddir + eps_m)
             a_next = jnp.where(pass_, a, 0.5 * a)
             return (a_next, jnp.where(pass_, m_new, m), it + 1, pass_)
 
