@@ -183,7 +183,13 @@ class SolverOptions:
     kappa_mu: float = 0.2        # barrier decrease factor
     kkt_backend: str = "riccati"  # "riccati" | "dense" | "pariccati" | "pallas"
     dtype: str = "float32"
-    warm_mu_factor: float = 10.0  # warm re-solves start at factor*tol barrier
+    # Warm re-solves restart the barrier at factor*tol (clamped to the
+    # mu >= max(mu_min, 0.1*tol) floor).  0.1 starts warm solves AT the
+    # floor, skipping barrier continuation entirely: measured on TPU v5e
+    # (4-DOF arm, N=25, 0.01-scale x0 nudges) mean warm iterations drop
+    # 5.0 -> 3.0 at converged_frac 1.0; factor 10 repeats ~2 extra barrier
+    # stages per solve for no accuracy gain.
+    warm_mu_factor: float = 0.1
     # Pin the first k controls of each solve to their warm-start values
     # (reference ``m_num_control_inputs_saved``: intended at
     # ``ModelControl.cpp:165-171`` but a no-op there since the field is never

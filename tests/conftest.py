@@ -26,3 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 # Deterministic regardless of test selection: several test modules need f64
 # oracles; runtime paths pass explicit float32 dtypes and are unaffected.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite's wall time is dominated by repeated
+# XLA compiles of near-identical solve programs (round-1 VERDICT item 7);
+# caching them on disk makes reruns start warm.  Gitignored.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
