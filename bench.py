@@ -103,11 +103,17 @@ def main():
             X0 = jnp.zeros((batch, prob.N + 1, prob.nx), dtype)
             U0 = jnp.zeros((batch, prob.N, prob.nu), dtype)
 
+            # Timing methodology note: on the remote-dispatch (axon) backend
+            # jax.block_until_ready returns at enqueue, NOT at completion
+            # (measured: 0.07 ms "wait" for a 99 ms execution), so every
+            # timed region here (a) chains each solve's inputs on the
+            # previous solve's outputs, forcing serial execution through
+            # data dependencies, and (b) ends with a scalar device->host
+            # pull, which genuinely waits for the chain.
             tc = time.perf_counter()
             res = solve_jit(p_batch, X0, U0, mu_cold)
-            jax.block_until_ready(res)
-            cold_s = time.perf_counter() - tc
             host = jax.device_get((res.iters, res.status))
+            cold_s = time.perf_counter() - tc
             conv_cold = float(np.mean(host[1] == 0))
             emit(phase="cold", batch=batch, cold_s=round(cold_s, 1),
                  converged_frac=round(conv_cold, 4))
@@ -118,7 +124,7 @@ def main():
                 p_batch = p_batch._replace(
                     x0=p_batch.x0 + jnp.float32(0.01) * jnp.sin(jnp.float32(i)))
                 res = solve_jit(p_batch, res.X, res.U, mu_warm)
-            jax.block_until_ready(res)
+            float(jnp.sum(res.U))  # scalar force: real completion barrier
             dt = (time.perf_counter() - tw) / n_rounds
             host = jax.device_get((res.iters, res.status, res.feas))
             conv = float(np.mean(host[1] == 0))

@@ -107,12 +107,20 @@ def main():
         bb = bound_bytes(B, args.n, nz, args.nu)
         for name, fn in backends.items():
             try:
+                # axon's block_until_ready returns at enqueue, not
+                # completion: chain each rep's input on the previous rep's
+                # output (zero-valued perturbation = pure data dependency)
+                # and end the timed region with a scalar pull, the only
+                # honest completion barrier on this backend.
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(fn(qp))
+                out = fn(qp)
+                float(jnp.sum(out.du))
                 compile_s = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 for _ in range(args.reps):
-                    out = jax.block_until_ready(fn(qp))
+                    chain = 0.0 * jnp.sum(out.du)
+                    out = fn(qp._replace(gf=qp.gf + chain))
+                float(jnp.sum(out.du))
                 dt = (time.perf_counter() - t0) / args.reps
                 if name == "scan":
                     ref_sol = out

@@ -232,13 +232,23 @@ class ModelControl:
             if Rm is not None:
                 p = p._replace(rm=jnp.asarray(Rm, self._dtype))
             self._p = p
+            # The cached warm start was optimal for the OLD weights; restart
+            # the barrier continuation so the next solve re-centers.
+            self._is_warm = False
 
     def update_control_limits(self, u_min: Sequence[float],
                               u_max: Sequence[float]) -> None:
-        """(``ModelControl.cpp:205-209``)."""
+        """(``ModelControl.cpp:205-209``).
+
+        Resets the barrier to a cold start: warm-starting an interior-point
+        solve across a feasible-set change is the classic IPM failure mode —
+        the previous plan can sit outside (or hug) the new bounds, and a
+        floor-level barrier gives Newton no centering, so the solve creeps
+        or diverges and the runtime would serve the stale old-bounds plan."""
         with self._state_lock:
             self._p = self._p._replace(u_min=jnp.asarray(u_min, self._dtype),
                                        u_max=jnp.asarray(u_max, self._dtype))
+            self._is_warm = False
 
     # -- the hot path (calc_u, ModelControl.cpp:116-172) ---------------------
 

@@ -206,7 +206,10 @@ def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
         + (N + 1) * nz + N * nu                                      # outputs
         + N * nu * nz + N * nu)                                      # scratch
     vmem_bytes = per_tile_elems * LANES * itemsize
-    VMEM_BUDGET = 14 * 2 ** 20  # ~16 MB/core minus headroom
+    # Mosaic double-buffers grid-varying blocks; we set vmem_limit_bytes to
+    # 64 MiB below, so one tile (pre-buffering, pre-padding) must stay under
+    # about a third of that.
+    VMEM_BUDGET = 22 * 2 ** 20
     if vmem_bytes > VMEM_BUDGET:
         raise ValueError(
             f"pallas Riccati kernel needs ~{vmem_bytes / 2**20:.1f} MiB of "
@@ -241,6 +244,14 @@ def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
             pltpu.VMEM((N, nu, nz, LANES), dtype),    # feedback gains K
             pltpu.VMEM((N, nu, LANES), dtype),        # feedforwards kff
         ],
+        # Mosaic double-buffers grid-varying blocks, so a multi-tile grid
+        # needs ~2x the single-tile footprint; the default 16 MiB scoped
+        # limit trips at N=25/nz=12 even though one tile fits comfortably.
+        # v5e VMEM is far larger than the default scoped limit — raise it
+        # to match the guarded estimate (x2 buffering + slack).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20,
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*ins)
 

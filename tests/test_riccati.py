@@ -85,9 +85,10 @@ def test_vmapped_batch():
 def test_parallel_scan_matches_dense():
     """O(log N) associative-scan backend vs the dense KKT oracle."""
     from mahi_mpc_tpu.solver.pariccati import solve_lqr_parallel
+    par_jit = jax.jit(solve_lqr_parallel)  # eager op-by-op is ~80s on CPU
     for seed in [0, 1, 2]:
         qp = random_qp(N=16, seed=seed)
-        a = solve_lqr_parallel(qp)
+        a = par_jit(qp)
         b = solve_lqr_dense(qp)
         np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
                                    rtol=1e-7, atol=1e-7)
@@ -100,7 +101,7 @@ def test_parallel_scan_matches_dense():
 def test_parallel_scan_long_horizon():
     from mahi_mpc_tpu.solver.pariccati import solve_lqr_parallel
     qp = random_qp(N=128, seed=3)
-    a = solve_lqr_parallel(qp)
+    a = jax.jit(solve_lqr_parallel)(qp)
     b = solve_lqr_scan(qp)
     np.testing.assert_allclose(np.asarray(a.du), np.asarray(b.du),
                                rtol=1e-6, atol=1e-6)
