@@ -42,9 +42,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     single-process with no coordinator configured (the common 1-host case —
     callers need no branch: ``jax.devices()`` is correct either way).
     """
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:  # already initialized
-        return True
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return True
+    else:  # pragma: no cover - older jax without is_initialized
+        try:
+            from jax._src import distributed as _dist
+            if _dist.global_state.client is not None:
+                return True
+        except Exception:
+            pass
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:

@@ -96,7 +96,9 @@ def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
     """
     spec = batch_spec(mesh)
 
-    use_lanes = prob.dynamics.supports_lanes and not prob.is_linear
+    # LTV mode is lanes-capable (batched affine einsums, solver/batched.py
+    # _linearize_ltv); nonlinear mode needs lanes-polymorphic dynamics.
+    use_lanes = prob.is_linear or prob.dynamics.supports_lanes
 
     def step(p_batch: MPCParams, X0: Array, U0: Array) -> SolveResult:
         if use_lanes:
@@ -117,6 +119,13 @@ def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
     def run(p_batch: MPCParams, X0: Array, U0: Array) -> SolveResult:
         b = X0.shape[0]
         if b % nb:
+            # Under a multi-process launch the inputs are global arrays with
+            # non-addressable shards; eager padding cannot touch them.  Pad
+            # on the host before building global arrays (shard_params does)
+            # or keep the batch divisible by the mesh's batch axis.
+            assert jax.process_count() == 1, (
+                f"multi-process batch {b} must be divisible by the mesh "
+                f"batch axis {nb}; pad on the host before sharding")
             p_batch = jax.tree.map(lambda a: _pad_to_multiple(a, nb), p_batch)
             X0 = _pad_to_multiple(X0, nb)
             U0 = _pad_to_multiple(U0, nb)
@@ -160,10 +169,17 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
         U0 = jax.make_array_from_callback(Zu.shape, spec, lambda idx: Zu[idx])
     res = fn(p_batch, X0, U0)
     jax.block_until_ready(res)  # compile + warm
+    # Honest timing on remote-dispatch backends (axon): block_until_ready
+    # returns at enqueue, so chain each rep's input on the previous rep's
+    # output (zero-valued perturbation = pure data dependency) and end the
+    # timed region with a replicated scalar device->host pull, which is
+    # addressable from every process under a multi-host launch.
+    rep = NamedSharding(mesh, P())
+    pull = jax.jit(lambda u: jnp.sum(u), out_shardings=rep)
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = fn(p_batch, X0, U0)
-    jax.block_until_ready(res)
+        res = fn(p_batch, res.X, res.U)
+    float(pull(res.U))
     dt = (time.perf_counter() - t0) / iters
     # Replicated reductions so the scalars are addressable from every
     # process under a multi-host launch.

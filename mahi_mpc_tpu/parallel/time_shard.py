@@ -29,7 +29,7 @@ from jax import shard_map
 from ..ops.linalg import chol_small, cho_solve_small, solve_small
 from ..ops.precision import highest_precision
 from ..solver.pariccati import _Element, _combine
-from ..solver.riccati import LQRSolution
+from ..solver.riccati import LQRSolution, register_backend
 from ..solver.stage_qp import StageQP
 
 Array = jnp.ndarray
@@ -152,3 +152,21 @@ def solve_lqr_time_sharded(qp: StageQP, mesh: Mesh,
     dz = jnp.concatenate([zero, dz_next], axis=0)
     lam = jnp.concatenate([zero, lam_next], axis=0)   # lam_0 = 0 (pinned node)
     return LQRSolution(dz=dz, du=du, lam=lam)
+
+
+def enable_time_shard_backend(mesh: Mesh, axis_name: str = "time",
+                              name: str = "time_shard") -> str:
+    """Make horizon sharding reachable from the public solver options
+    (round-2 VERDICT item 7): registers a ``solve_lqr`` backend that closes
+    over ``mesh``, so ``SolverOptions(kkt_backend='time_shard')`` routes
+    every KKT solve of ``solve`` / ``solve_batch`` through
+    ``solve_lqr_time_sharded``.  Returns the backend name to put in
+    ``SolverOptions.kkt_backend``.
+
+    Use when the horizon N is long enough that the O(log(N/T)) local scan +
+    O(T) boundary fold beats the O(N) sequential scan per chip — see
+    ``docs/PARALLELISM.md`` for measured win/loss.
+    """
+    register_backend(
+        name, lambda qp: solve_lqr_time_sharded(qp, mesh, axis_name))
+    return name

@@ -71,7 +71,7 @@ class BatchModelControl:
             max(opts.warm_mu_factor * opts.tol, opts.mu_min), dtype)
         self._warm = False
 
-        use_lanes = dynamics.supports_lanes and not params.is_linear
+        use_lanes = params.is_linear or dynamics.supports_lanes
 
         def step_fn(p_b: MPCParams, X, U, mu0):
             if use_lanes:

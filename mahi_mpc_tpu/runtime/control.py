@@ -50,6 +50,14 @@ class SolveStats:
         self._fails = 0
         self._count = 0
         self._cap = capacity
+        # Fallback-serve observability (round-2 VERDICT item 10): the
+        # reference's equivalent was UB (``ModelControl.cpp:195-196`` indexes
+        # an empty result vector before the first solve); here the fallback
+        # is well-defined *and counted*, so a hard-RT consumer can detect
+        # "I was served a placeholder / stale plan" from metrics instead of
+        # polling ``control_results().status``.
+        self.served_placeholder = 0   # control_at_time before any solve
+        self.served_stale = 0         # control_at_time while last solve failed
 
     def record(self, dt_s: float, iters: int, ok: bool) -> None:
         self._count += 1
@@ -65,11 +73,15 @@ class SolveStats:
 
     def summary(self) -> dict:
         if not self._times:
-            return {"solves": 0}
+            return {"solves": 0,
+                    "served_placeholder": self.served_placeholder,
+                    "served_stale": self.served_stale}
         t = np.asarray(self._times)
         return {
             "solves": self._count,
             "failures": self._fails,
+            "served_placeholder": self.served_placeholder,
+            "served_stale": self.served_stale,
             "mean_ms": float(t.mean() * 1e3),
             "p50_ms": float(np.percentile(t, 50) * 1e3),
             "p99_ms": float(np.percentile(t, 99) * 1e3),
@@ -144,6 +156,7 @@ class ModelControl:
 
         self._calc_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._stale = False
         self.stats = SolveStats()
 
     # -- loading (reference load_model, ModelControl.cpp:21-73) --------------
@@ -283,8 +296,11 @@ class ModelControl:
               bool(np.all(np.isfinite(host.U))))
         self.stats.record(dt, int(host.iters), ok)
         if not ok:
-            # Stale-plan fallback (SURVEY.md §5 failure detection).
+            # Stale-plan fallback (SURVEY.md §5 failure detection); serves
+            # from here on are counted as stale until a solve succeeds.
+            self._stale = True
             return self._plan
+        self._stale = False
 
         self._X0, self._U0 = res.X, res.U  # warm start next solve (on device)
         self._is_warm = True
@@ -329,12 +345,18 @@ class ModelControl:
     # -- plan access (control thread side) -----------------------------------
 
     def control_at_time(self, t: float) -> np.ndarray:
-        """(``ModelControl.cpp:192-197``) — safe before the first solve."""
+        """(``ModelControl.cpp:192-197``) — safe before the first solve, and
+        fallback serves are counted (stats.served_placeholder/_stale)."""
+        plan = self._plan
+        if plan.status == -1:
+            self.stats.served_placeholder += 1
+        elif self._stale:
+            self.stats.served_stale += 1
         if self._native is not None:
             u = self._native.sample(t)
             if u is not None:
                 return u
-        return self._plan.control_at_time(t)
+        return plan.control_at_time(t)
 
     def control_results(self) -> Plan:
         """The latest plan (``ModelControl.hpp:40``)."""

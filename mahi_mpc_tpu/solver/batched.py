@@ -40,6 +40,47 @@ def _lanes_step(prob: ShootingProblem, xs: Array, us: Array) -> Array:
     return make_step(prob.dynamics.f, prob.dt, prob.integrator)(xs, us)
 
 
+# ---- LTV (successive-linearization) mode, reference C8 --------------------
+# The frozen-linearization step F(x,u) = step of A(x-x0)+B(u-u0)+xd0 is
+# affine with *per-instance* (A, B) constant across the horizon
+# (``ModelControl.cpp:125-135``), so its discrete Jacobians are one jacfwd
+# per instance (not per node) and the defects are batched einsums — simpler
+# than the nonlinear lanes path, no dynamics graph at all.
+
+def _ltv_step_one(prob: ShootingProblem, lp, x: Array, u: Array) -> Array:
+    from ..models.integrators import make_step
+    f = lambda x_, u_: prob.dynamics.linear_f(
+        x_, u_, lp.A, lp.B, lp.x_dot0, lp.x0, lp.u0)
+    return make_step(f, prob.dt, prob.integrator)(x, u)
+
+
+def _defects_ltv(prob: ShootingProblem, X: Array, U: Array,
+                 p: MPCParams) -> Array:
+    """Continuity residuals under the frozen LTV step: (B, N, nx)."""
+    xn = jax.vmap(lambda lp, Xs, Us: jax.vmap(
+        lambda x, u: _ltv_step_one(prob, lp, x, u))(Xs, Us))(
+        p.lin, X[:, :-1], U)
+    return xn - X[:, 1:]
+
+
+def _linearize_ltv(prob: ShootingProblem, X: Array, U: Array, p: MPCParams):
+    """Stage Jacobians for LTV mode: exact everywhere (the step is affine),
+    computed once per instance and broadcast over the horizon."""
+    B, Np1, nx = X.shape
+    N = Np1 - 1
+    nu = U.shape[-1]
+
+    def jacs(lp):
+        joint = lambda w: _ltv_step_one(prob, lp, w[:nx], w[nx:])
+        J = jax.jacfwd(joint)(jnp.concatenate([lp.x0, lp.u0]))
+        return J[:, :nx], J[:, nx:]
+
+    Ad, Bd = jax.vmap(jacs)(p.lin)               # (B, nx, nx), (B, nx, nu)
+    A = jnp.broadcast_to(Ad[:, None], (B, N, nx, nx))
+    Bm = jnp.broadcast_to(Bd[:, None], (B, N, nx, nu))
+    return A, Bm, _defects_ltv(prob, X, U, p)
+
+
 def _defects_lanes(prob: ShootingProblem, X: Array, U: Array) -> Array:
     """Continuity residuals for the whole batch: X (B, N+1, nx) ->
     c (B, N, nx), evaluating all B*N dynamics steps in lanes."""
@@ -102,8 +143,9 @@ def _merit_smooth_batch(X: Array, U: Array, p: MPCParams, mu: Array) -> Array:
 def _merit_batch(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
                  mu: Array, nu_pen: Array) -> Array:
     """l1 merit per instance (B,): separable cost + barrier + nu|c|_1,
-    with the defects evaluated in lanes."""
-    c = _defects_lanes(prob, X, U)
+    with the defects evaluated in lanes (LTV: batched affine einsums)."""
+    c = (_defects_ltv(prob, X, U, p) if prob.is_linear
+         else _defects_lanes(prob, X, U))
     return (_merit_smooth_batch(X, U, p, mu)
             + nu_pen * jnp.sum(jnp.abs(c), axis=(1, 2)))
 
@@ -128,10 +170,9 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
                       mu0: Optional[Array] = None) -> SolveResult:
     """Batched solve with identical semantics to jax.vmap(solve) — every
     input pytree leaf carries a leading batch axis."""
-    assert prob.dynamics.supports_lanes, (
+    assert prob.is_linear or prob.dynamics.supports_lanes, (
         f"dynamics {prob.dynamics.name!r} is not lanes-polymorphic; "
         "use solve_batch (vmap) instead")
-    assert not prob.is_linear, "LTV mode uses the vmapped path"
     nx, nu, N = prob.nx, prob.nu, prob.N
     nz = nx + nu
     B = p.x0.shape[0]
@@ -165,7 +206,8 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
     mu_min = jnp.asarray(mu_floor, dtype)
 
     def body(s: _LoopState) -> _LoopState:
-        lin = _linearize_lanes(prob, s.X, s.U)
+        lin = (_linearize_ltv(prob, s.X, s.U, p) if prob.is_linear
+               else _linearize_lanes(prob, s.X, s.U))
         qp = jax.vmap(
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
@@ -290,9 +332,12 @@ def _cost_batch_reference(prob, X, U, p):
     B, Np1, nx = X.shape
     N = Np1 - 1
     nu = U.shape[-1]
-    xs = X[:, :-1].reshape(B * N, nx).T
-    us = U.reshape(B * N, nu).T
-    xn = _lanes_step(prob, xs, us).T.reshape(B, N, nx)
+    if prob.is_linear:
+        xn = _defects_ltv(prob, X, U, p) + X[:, 1:]
+    else:
+        xs = X[:, :-1].reshape(B * N, nx).T
+        us = U.reshape(B * N, nu).T
+        xn = _lanes_step(prob, xs, us).T.reshape(B, N, nx)
     e = xn - p.x_des
     j = jnp.einsum("bni,bi->b", e * e, p.q)
     du = jnp.diff(U, axis=1, prepend=p.u_prev[:, None, :])

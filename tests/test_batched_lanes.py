@@ -103,3 +103,49 @@ def test_lanes_warm_start_and_mu0():
     assert float(jnp.mean(warm.iters)) <= float(jnp.mean(cold.iters))
     np.testing.assert_allclose(np.asarray(warm.U), np.asarray(cold.U),
                                atol=5e-3)
+
+
+def test_lanes_solver_ltv_mode():
+    """LTV (successive-linearization, reference C8) through the lanes path:
+    per-instance frozen (A, B), identical results to jax.vmap(solve) (round-2
+    VERDICT item 8: both lanes paths previously asserted not is_linear)."""
+    from mahi_mpc_tpu.transcribe.shooting import LinPoint
+
+    dyn = make_dynamics("double_pendulum")
+    B, N = 8, 12
+    mp = ModelParameters(
+        "lanes_ltv", num_x=dyn.nx, num_u=dyn.nu, step_size=0.01,
+        num_shooting_nodes=N, is_linear=True,
+        u_min=[-40.0] * dyn.nu, u_max=[40.0] * dyn.nu)
+    prob = make_problem(mp, dyn)
+    rng = np.random.default_rng(5)
+    p = default_params(mp)
+    p = p._replace(q=jnp.full((dyn.nx,), 10.0), r=jnp.full((dyn.nu,), 0.5),
+                   rm=jnp.full((dyn.nu,), 0.01))
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    x0 = jnp.asarray(0.2 * rng.standard_normal((B, dyn.nx)), jnp.float32)
+    u0 = jnp.asarray(0.1 * rng.standard_normal((B, dyn.nu)), jnp.float32)
+    A, Bm, xd0 = jax.vmap(dyn.linearize)(x0, u0)
+    pb = pb._replace(
+        x0=x0, u_prev=u0,
+        x_des=jnp.asarray(0.2 * rng.standard_normal((B, N, dyn.nx)),
+                          jnp.float32),
+        lin=LinPoint(A, Bm, xd0, x0, u0))
+
+    opts = SolverOptions(tol=1e-5, max_iter=40)
+    X0 = jnp.zeros((B, prob.N + 1, prob.nx), jnp.float32)
+    U0 = jnp.zeros((B, prob.N, prob.nu), jnp.float32)
+
+    ref = jax.jit(jax.vmap(lambda p_, x, u: solve(prob, p_, x, u, opts)))(
+        pb, X0, U0)
+    got = jax.jit(lambda p_, x, u: solve_batch_lanes(prob, p_, x, u, opts))(
+        pb, X0, U0)
+
+    ok = (np.asarray(ref.status) == 0) & (np.asarray(got.status) == 0)
+    assert ok.mean() >= 0.9, (ref.status, got.status)
+    np.testing.assert_allclose(np.asarray(got.U)[ok], np.asarray(ref.U)[ok],
+                               atol=2e-3, rtol=2e-3)
+    # Same barrier schedule => same iteration counts as the vmapped path
+    # (up to one borderline step).
+    assert abs(float(np.mean(np.asarray(got.iters)[ok]))
+               - float(np.mean(np.asarray(ref.iters)[ok]))) <= 1.0

@@ -166,3 +166,20 @@ def test_acrobot_underactuated():
         np.asarray(acro.f(x, jnp.array([0.7]))),
         np.asarray(dp.f(x, jnp.array([0.0, 0.7]))), rtol=1e-12)
     assert acro.nx == 4 and acro.nu == 1
+
+
+@pytest.mark.parametrize("dyn", [make_two_link_arm(), make_mahi_arm()],
+                         ids=lambda d: d.name)
+def test_rnea_bias_matches_lagrangian_oracle(dyn):
+    """The RNEA bias (production f graph, models/arm.py bias) must equal the
+    Lagrangian-form bias (AD over the mass-matrix graph, bias_lagrangian) to
+    roundoff over random states — the cross-validation bias_lagrangian's
+    docstring promises."""
+    rng = np.random.default_rng(7)
+    n = dyn.nu
+    for _ in range(10):
+        q = jnp.array(rng.uniform(-2, 2, size=n))
+        qd = jnp.array(rng.uniform(-3, 3, size=n))
+        h_rnea = np.asarray(dyn.bias(q, qd))
+        h_lagr = np.asarray(dyn.bias_lagrangian(q, qd))
+        np.testing.assert_allclose(h_rnea, h_lagr, rtol=1e-10, atol=1e-10)
