@@ -75,8 +75,11 @@ def main():
 
     def params_for(batch):
         p = default_params(mp, dtype=dtype)
-        p = p._replace(q=jnp.full((mp.num_x,), 10.0, dtype),
-                       r=jnp.full((mp.num_u,), 0.5, dtype),
+        # Identical problem to benchmarks/run_all.py configs 4/5 (round-2
+        # VERDICT item 4: one problem definition shared by every harness, so
+        # numbers reconcile file-to-file).
+        p = p._replace(q=jnp.asarray([10.0] * 4 + [1.0] * 4, dtype),
+                       r=jnp.full((mp.num_u,), 0.1, dtype),
                        rm=jnp.full((mp.num_u,), 0.01, dtype))
         pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), p)
         return pb._replace(
@@ -129,9 +132,13 @@ def main():
             host = jax.device_get((res.iters, res.status, res.feas))
             conv = float(np.mean(host[1] == 0))
             sps = batch / dt
+            # max_iters is the batched while_loop's actual trip count (the
+            # wall-clock driver — docs/PERFORMANCE.md §3); mean_iters is the
+            # per-instance average.
             emit(phase="warm", batch=batch, ms_per_batch=round(dt * 1e3, 2),
                  solves_per_s=round(sps, 1), converged_frac=round(conv, 4),
-                 mean_iters=round(float(np.mean(host[0])), 2))
+                 mean_iters=round(float(np.mean(host[0])), 2),
+                 max_iters=int(np.max(host[0])))
             # Guard: a fast number with broken numerics is not a result.
             if conv >= 0.9 and (best is None or sps > best["sps"]):
                 best = {"sps": sps, "batch": batch, "dt": dt, "conv": conv,

@@ -33,6 +33,9 @@ CONFIGS = {
     5: dict(name="batch_scenarios", model="mahi_arm", nx=8, nu=4, N=25,
             dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4,
             desc="batched scenario MPC"),
+    6: dict(name="mahi_arm_ltv", model="mahi_arm", nx=8, nu=4, N=25,
+            dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4, is_linear=True,
+            desc="4-DOF arm, LTV successive-linearization mode (C8)"),
 }
 
 
@@ -50,7 +53,8 @@ def bench_config(cfg, batch, rounds, opts_kw):
     mp = ModelParameters(
         cfg["name"], num_x=dyn.nx, num_u=dyn.nu, step_size=cfg["dt"],
         num_shooting_nodes=cfg["N"], u_min=[-cfg["u_lim"]] * dyn.nu,
-        u_max=[cfg["u_lim"]] * dyn.nu, dynamics_name=cfg["model"])
+        u_max=[cfg["u_lim"]] * dyn.nu, dynamics_name=cfg["model"],
+        is_linear=cfg.get("is_linear", False))
     prob = make_problem(mp, dyn)
     opts = SolverOptions(**opts_kw)
     dtype = jnp.dtype(opts.dtype)
@@ -66,6 +70,13 @@ def bench_config(cfg, batch, rounds, opts_kw):
         x0=jnp.asarray(0.2 * rng.standard_normal((B, dyn.nx)), dtype),
         x_des=jnp.asarray(0.2 * rng.standard_normal((B, cfg["N"], dyn.nx)),
                           dtype))
+    if prob.is_linear:
+        # LTV mode: freeze per-instance (A, B, x_dot0) at the measured state
+        # (reference C8, ModelControl.cpp:125-135).
+        from mahi_mpc_tpu.transcribe.shooting import LinPoint
+        u0 = jnp.zeros((B, dyn.nu), dtype)
+        A, Bm, xd0 = jax.vmap(dyn.linearize)(pb.x0, u0)
+        pb = pb._replace(lin=LinPoint(A, Bm, xd0, pb.x0, u0))
 
     # Lanes-batched path — the production batch layout (round-1 VERDICT
     # item 8: configs 1-4 previously vmapped `solve`, the ~30x slower
@@ -89,6 +100,11 @@ def bench_config(cfg, batch, rounds, opts_kw):
     lat = []
     for i in range(rounds):
         pb = pb._replace(x0=pb.x0 + jnp.asarray(0.01 * np.sin(i), dtype))
+        if prob.is_linear:
+            from mahi_mpc_tpu.transcribe.shooting import LinPoint
+            u0 = pb.u_prev
+            A, Bm, xd0 = jax.vmap(dyn.linearize)(pb.x0, u0)
+            pb = pb._replace(lin=LinPoint(A, Bm, xd0, pb.x0, u0))
         t0 = time.perf_counter()
         res = fn(pb, res.X, res.U, mu_warm)
         float(jnp.sum(res.U))
@@ -102,6 +118,7 @@ def bench_config(cfg, batch, rounds, opts_kw):
         "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
         "solves_per_s": round(B / float(np.mean(lat)), 1),
         "mean_iters": round(float(jnp.mean(res.iters)), 2),
+        "max_iters": int(jnp.max(res.iters)),
         "converged_frac": round(float(jnp.mean(
             (res.status == 0).astype(jnp.float32))), 3),
     }
@@ -110,7 +127,8 @@ def bench_config(cfg, batch, rounds, opts_kw):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--configs", type=int, nargs="*",
+                    default=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-4)

@@ -181,7 +181,13 @@ class SolverOptions:
     mu_init: float = 1e-1        # initial barrier parameter (bounded problems)
     mu_min: float = 1e-9
     kappa_mu: float = 0.2        # barrier decrease factor
-    kkt_backend: str = "riccati"  # "riccati" | "dense" | "pariccati" | "pallas"
+    # "auto" resolves per call site (solver.riccati.resolve_kkt_backend):
+    # batched solves on real TPU use the Pallas lanes kernel (the measured
+    # winner at every batch >= 128, benchmarks/results_kkt.json); everything
+    # else uses the sequential scan.  Explicit values: "riccati" (scan) |
+    # "dense" | "pariccati" (O(log N) associative scan) | "pallas" |
+    # "time_shard" (after parallel.time_shard.enable_time_shard_backend).
+    kkt_backend: str = "auto"
     dtype: str = "float32"
     # Warm re-solves restart the barrier at factor*tol (clamped to the
     # mu >= max(mu_min, 0.1*tol) floor).  0.1 starts warm solves AT the
@@ -190,6 +196,13 @@ class SolverOptions:
     # 5.0 -> 3.0 at converged_frac 1.0; factor 10 repeats ~2 extra barrier
     # stages per solve for no accuracy gain.
     warm_mu_factor: float = 0.1
+    # Latency-shaped warm hot path (round-2 VERDICT item 6): when > 0, the
+    # runtime's warm re-solves use solver.fixed.solve_fixed with exactly
+    # this many straight-line SQP iterations (no data-dependent While ops in
+    # the lowered program) instead of the adaptive nested-while solver.
+    # 3 reproduces the steady-state warm solve on the benchmark configs
+    # (tests/test_fixed.py); cold solves always use the adaptive path.
+    fixed_warm_iters: int = 0
     # Pin the first k controls of each solve to their warm-start values
     # (reference ``m_num_control_inputs_saved``: intended at
     # ``ModelControl.cpp:165-171`` but a no-op there since the field is never

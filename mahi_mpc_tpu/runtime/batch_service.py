@@ -98,6 +98,18 @@ class BatchModelControl:
         """Per-instance reference trajectories: (B, N, nx)."""
         self._p = self._p._replace(x_des=jnp.asarray(x_des, self._dtype))
 
+    def relinearize(self):
+        """LTV mode (C8): refreeze each instance's (A, B, x_dot0) at its
+        current measured state — the batched analog of the reference's
+        per-cycle ``get_A/get_B/get_x_dot`` evaluation
+        (``ModelControl.cpp:125-135``).  No-op for nonlinear models."""
+        if not self.params.is_linear:
+            return
+        from ..transcribe.shooting import LinPoint
+        p = self._p
+        A, B, xd0 = jax.vmap(self.dynamics.linearize)(p.x0, p.u_prev)
+        self._p = p._replace(lin=LinPoint(A, B, xd0, p.x0, p.u_prev))
+
     def update_weights(self, Q=None, R=None, Rm=None):
         """Per-instance (B, nx)/(B, nu) or broadcastable weight updates."""
         p = self._p
@@ -116,6 +128,7 @@ class BatchModelControl:
 
     def step(self) -> np.ndarray:
         """One batched warm-started solve; returns first controls (B, nu)."""
+        self.relinearize()   # LTV: refreeze at current states (no-op else)
         mu0 = self._mu_warm if self._warm else self._mu_cold
         t0 = time.perf_counter()
         res = self._step(self._p, self._X, self._U, mu0)

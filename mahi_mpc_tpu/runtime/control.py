@@ -35,7 +35,7 @@ from ..params import ModelParameters, SolverOptions
 from ..solver.sqp import CONVERGED, DIVERGED, SolveResult, solve
 from ..transcribe.shooting import (LinPoint, MPCParams, ShootingProblem,
                                    default_params, make_problem)
-from .generate import ARTIFACT_SUFFIX, LINEAR_SUFFIX
+from .generate import ARTIFACT_SUFFIX, LINEAR_SUFFIX, WARM_SUFFIX
 from .plan import Plan, empty_plan
 
 
@@ -180,6 +180,11 @@ class ModelControl:
             register_lapack_ffi_targets()
             exp = jax.export.deserialize(art.read_bytes())
             self._solve_fn = jax.jit(exp.call)  # (p, X0, U0, mu0)
+            warm_path = art.with_name(
+                art.name[: -len(ARTIFACT_SUFFIX)] + WARM_SUFFIX)
+            self._warm_fn = (jax.jit(jax.export.deserialize(
+                warm_path.read_bytes()).call)
+                if warm_path.is_file() else None)
             lin_path = art.with_name(
                 art.name[: -len(ARTIFACT_SUFFIX)] + LINEAR_SUFFIX)
             if lin_path.is_file():
@@ -206,6 +211,14 @@ class ModelControl:
 
             self._solve_fn = jax.jit(
                 lambda p, X0, U0, mu0: solve(prob, p, X0, U0, opts, mu0=mu0))
+            if opts.fixed_warm_iters > 0:
+                from ..solver.fixed import solve_fixed
+                k = opts.fixed_warm_iters
+                self._warm_fn = jax.jit(
+                    lambda p, X0, U0, mu0: solve_fixed(
+                        prob, p, X0, U0, opts, mu0=mu0, n_iter=k))
+            else:
+                self._warm_fn = None
             dyn = dynamics
             self._lin_fn = jax.jit(lambda x, u: dyn.linearize(x, u))
 
@@ -284,8 +297,12 @@ class ModelControl:
             p = p._replace(lin=LinPoint(A, B, xd0, x0, u0))
 
         mu0 = self._mu_warm if self._is_warm else self._mu_cold
+        # Latency-shaped warm hot path (opts.fixed_warm_iters): straight-line
+        # fixed-iteration program once warm; adaptive solver when cold.
+        fn = (self._warm_fn if (self._is_warm and self._warm_fn is not None)
+              else self._solve_fn)
         t0 = time.perf_counter()
-        res: SolveResult = self._solve_fn(p, self._X0, self._U0, mu0)
+        res: SolveResult = fn(p, self._X0, self._U0, mu0)
         # One blocking device->host transfer for the whole result pytree
         # (round 1 did 5+ separate scalar pulls on this 1 kHz hot path).
         host = jax.device_get(res)

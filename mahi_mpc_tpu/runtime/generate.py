@@ -29,6 +29,7 @@ from ..transcribe.shooting import MPCParams, ShootingProblem, default_params, ma
 
 ARTIFACT_SUFFIX = ".mpcx"
 LINEAR_SUFFIX = "_linear.mpcx"
+WARM_SUFFIX = "_warm.mpcx"
 
 
 def _export_platforms() -> Sequence[str]:
@@ -115,6 +116,19 @@ class ModelGenerator:
             jax.ShapeDtypeStruct((nx,), dtype), jax.ShapeDtypeStruct((nu,), dtype))
         (directory / f"{mp.name}{LINEAR_SUFFIX}").write_bytes(
             lin_exp.serialize())
+
+        if self.opts.fixed_warm_iters > 0:
+            # Latency-shaped warm-resolve program (no While ops): a second
+            # artifact the runtime uses for warm re-solves only.
+            from ..solver.fixed import solve_fixed
+            prob, opts = self.problem, self.opts
+            warm_fn = jax.jit(lambda p, X0, U0, mu0: solve_fixed(
+                prob, p, X0, U0, opts, mu0=mu0,
+                n_iter=opts.fixed_warm_iters))
+            warm_exp = jax.export.export(warm_fn, platforms=plats)(
+                p_spec, X_spec, U_spec, mu_spec)
+            (directory / f"{mp.name}{WARM_SUFFIX}").write_bytes(
+                warm_exp.serialize())
 
         self.params = dataclasses.replace(mp, dll_filepath=str(art))
         self.save_param_file(directory)

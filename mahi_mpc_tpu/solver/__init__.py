@@ -1,10 +1,12 @@
 from .stage_qp import StageQP, build_stage_qp
-from .riccati import LQRSolution, register_backend, solve_lqr
+from .riccati import (LQRSolution, register_backend, resolve_kkt_backend,
+                      solve_lqr)
 from .sqp import CONVERGED, DIVERGED, MAX_ITER, SolveResult, solve, solve_batch
+from .fixed import solve_fixed
 
 __all__ = [
     "StageQP", "build_stage_qp",
-    "LQRSolution", "solve_lqr", "register_backend",
-    "SolveResult", "solve", "solve_batch",
+    "LQRSolution", "solve_lqr", "register_backend", "resolve_kkt_backend",
+    "SolveResult", "solve", "solve_batch", "solve_fixed",
     "CONVERGED", "MAX_ITER", "DIVERGED",
 ]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..ops.precision import highest_precision
 from ..params import SolverOptions
 from ..transcribe.shooting import MPCParams, ShootingProblem
-from .riccati import solve_lqr
+from .riccati import resolve_kkt_backend, solve_lqr
 from .sqp import CONVERGED, DIVERGED, MAX_ITER, SolveResult
 from .stage_qp import (barrier_value, build_stage_qp, fraction_to_boundary)
 
@@ -213,11 +213,12 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
                 n_pin=opts.num_control_inputs_saved))(
             s.X, s.U, p, s.mu, s.reg, *lin)
-        if opts.kkt_backend == "pallas":
+        backend = resolve_kkt_backend(opts.kkt_backend, batched=True)
+        if backend == "pallas":
             from .pallas_riccati import default_interpret, solve_lqr_pallas_batch
             sol = solve_lqr_pallas_batch(qp, interpret=default_interpret())
         else:
-            sol = jax.vmap(lambda q: solve_lqr(q, opts.kkt_backend))(qp)
+            sol = jax.vmap(lambda q: solve_lqr(q, backend))(qp)
         dX = sol.dz[..., :nx]                 # (B, N+1, nx)
         dU = sol.du                            # (B, N, nu)
 

@@ -236,10 +236,33 @@ def _build_qp(prob: ShootingProblem, X: Array, U: Array, pl,
 
 # ------------------------------------------------------------ Riccati (KKT)
 
-def _solve_lqr(qp: _QP) -> Tuple[Array, Array, Array]:
+def _solve_lqr(qp: _QP, backend: str = "riccati",
+               interpret: bool = False) -> Tuple[Array, Array, Array]:
     """Backward Riccati + forward rollout, all stages in lanes layout.
     Identical recursion to riccati.solve_lqr_scan.  Returns
-    dz (N+1, nz, B), du (N, nu, B), lam (N+1, nz, B)."""
+    dz (N+1, nz, B), du (N, nu, B), lam (N+1, nz, B).
+
+    backend 'pallas' feeds the QP to the fused Pallas kernel with ZERO
+    layout conversion (the _QP is already in the kernel's lanes layout);
+    only the cheap adjoint recursion for the multipliers stays outside."""
+    if backend == "pallas":
+        from .pallas_riccati import LANES, solve_lqr_pallas_lanes
+        B = qp.gf.shape[-1]
+        pad = (-B) % LANES
+        if pad:
+            def pad_l(a):
+                fill = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (pad,))
+                return jnp.concatenate([a, fill], axis=-1)
+            ins = tuple(pad_l(a) for a in qp)
+        else:
+            ins = tuple(qp)
+        dz, dus = solve_lqr_pallas_lanes(ins, interpret=interpret)
+        dz, dus = dz[..., :B], dus[..., :B]
+        return dz, dus, _lam_lanes(qp, dz, dus)
+    return _solve_lqr_scan_lanes(qp)
+
+
+def _solve_lqr_scan_lanes(qp: _QP) -> Tuple[Array, Array, Array]:
 
     def backward(carry, stage):
         P, pvec = carry                      # (nz, nz, B), (nz, B)
@@ -276,8 +299,12 @@ def _solve_lqr(qp: _QP) -> Tuple[Array, Array, Array]:
         forward, dz0, (Ks, kffs, qp.Az, qp.Bz, qp.r))
     dz_last = (_mv(qp.Az[-1], dzs[-1]) + _mv(qp.Bz[-1], dus[-1]) + qp.r[-1])
     dz = jnp.concatenate([dzs, dz_last[None]], axis=0)
+    return dz, dus, _lam_lanes(qp, dz, dus)
 
-    # Adjoint recursion for the continuity duals (riccati._multipliers).
+
+def _lam_lanes(qp: _QP, dz: Array, dus: Array) -> Array:
+    """Adjoint recursion for the continuity duals (riccati._multipliers),
+    lanes layout."""
     lamN = _mv(qp.Hf, dz[-1]) + qp.gf
 
     def adj(lam_next, stage):
@@ -289,8 +316,7 @@ def _solve_lqr(qp: _QP) -> Tuple[Array, Array, Array]:
         adj, lamN,
         (qp.Az[1:], qp.Hzz[1:], qp.Hzu[1:], qp.gz[1:], dz[1:-1], dus[1:]),
         reverse=True)
-    lam = jnp.concatenate([jnp.zeros_like(dz[:1]), lams, lamN[None]], axis=0)
-    return dz, dus, lam
+    return jnp.concatenate([jnp.zeros_like(dz[:1]), lams, lamN[None]], axis=0)
 
 
 # ------------------------------------------------------------ merit & bound
@@ -367,7 +393,18 @@ def solve_batch_tpu(prob: ShootingProblem, p: MPCParams,
     assert prob.dynamics.supports_lanes, (
         f"dynamics {prob.dynamics.name!r} is not lanes-polymorphic; "
         "use solve_batch (vmap) instead")
-    assert not prob.is_linear, "LTV mode uses the vmapped path"
+    assert not prob.is_linear, (
+        "LTV mode uses solve_batch_lanes (batched affine einsums)")
+    from .riccati import resolve_kkt_backend
+    backend = resolve_kkt_backend(opts.kkt_backend, batched=True)
+    assert backend in ("riccati", "pallas"), (
+        f"solve_batch_tpu supports kkt_backend 'riccati'/'pallas'/'auto', "
+        f"got {backend!r}; other backends go through solve_batch_lanes")
+    if backend == "pallas":
+        from .pallas_riccati import default_interpret
+        interpret = default_interpret()
+    else:
+        interpret = False
     nx, nu, N = prob.nx, prob.nu, prob.N
     B = p.x0.shape[0]
     dtype = p.x0.dtype
@@ -401,7 +438,7 @@ def solve_batch_tpu(prob: ShootingProblem, p: MPCParams,
         lin = _linearize(prob, s.X, s.U)
         qp = _build_qp(prob, s.X, s.U, pl, s.mu, s.reg, lin,
                        n_pin=opts.num_control_inputs_saved)
-        dz, dU, lam = _solve_lqr(qp)
+        dz, dU, lam = _solve_lqr(qp, backend=backend, interpret=interpret)
         dX = dz[:, :nx]                                  # (N+1, nx, B)
 
         step_norm = jnp.maximum(jnp.max(jnp.abs(dX), axis=(0, 1)),

@@ -25,7 +25,7 @@ no LAPACK custom call, no data-dependent control flow.
 from __future__ import annotations
 
 import functools
-from typing import List
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -169,30 +169,20 @@ def _from_lanes(a: Array, B: int) -> Array:
     return jnp.moveaxis(a, -1, 0)[:B]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-@highest_precision
-def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
-                           ) -> LQRSolution:
-    """Solve a *batched* StageQP (every leaf carries a leading scenario-batch
-    axis B) with the fused Pallas Riccati kernel.  Returns the same
-    LQRSolution as ``jax.vmap(solve_lqr_scan)`` to roundoff (tests pin it).
-    """
-    B, N, nz = qp.Az.shape[0], qp.Az.shape[1], qp.Az.shape[2]
-    nu = qp.Bz.shape[3]
-    dtype = qp.gf.dtype
-
-    Bp = -(-B // LANES) * LANES
-    pad = Bp - B
-
-    def prep(a):
-        if pad:
-            # Edge-replicate so padded lanes stay numerically benign.
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
-        return _to_lanes(a)
-
-    ins = tuple(prep(a) for a in (qp.Az, qp.Bz, qp.r, qp.Hzz, qp.Hzu,
-                                  qp.Huu, qp.gz, qp.gu, qp.Hf, qp.gf))
+def solve_lqr_pallas_lanes(ins: tuple, interpret: bool = False
+                           ) -> Tuple[Array, Array]:
+    """Lanes-native kernel entry: ``ins`` is the 10-tuple
+    ``(Az, Bz, r, Hzz, Hzu, Huu, gz, gu, Hf, gf)`` already in lanes layout
+    (trailing batch axis on every array, e.g. Az ``(N, nz, nz, B)``) with
+    ``B`` a multiple of 128.  Returns ``(dz, du)`` in lanes layout —
+    zero transposes, so the all-lanes SQP (solver/lanes.py) feeds the kernel
+    its QP directly."""
+    Az, Bz = ins[0], ins[1]
+    N, nz = Az.shape[0], Az.shape[1]
+    nu = Bz.shape[2]
+    Bp = Az.shape[-1]
+    dtype = ins[-1].dtype
+    assert Bp % LANES == 0, f"lanes batch {Bp} must be a multiple of {LANES}"
     nb = Bp // LANES
 
     # The kernel pins all QP inputs, both outputs, and the K/kff scratch in
@@ -254,6 +244,32 @@ def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*ins)
+    return dz_l, du_l
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+@highest_precision
+def solve_lqr_pallas_batch(qp: StageQP, interpret: bool = False
+                           ) -> LQRSolution:
+    """Solve a *batched* StageQP (every leaf carries a leading scenario-batch
+    axis B) with the fused Pallas Riccati kernel.  Returns the same
+    LQRSolution as ``jax.vmap(solve_lqr_scan)`` to roundoff (tests pin it).
+    """
+    B = qp.Az.shape[0]
+
+    Bp = -(-B // LANES) * LANES
+    pad = Bp - B
+
+    def prep(a):
+        if pad:
+            # Edge-replicate so padded lanes stay numerically benign.
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        return _to_lanes(a)
+
+    ins = tuple(prep(a) for a in (qp.Az, qp.Bz, qp.r, qp.Hzz, qp.Hzu,
+                                  qp.Huu, qp.gz, qp.gu, qp.Hf, qp.gf))
+    dz_l, du_l = solve_lqr_pallas_lanes(ins, interpret=interpret)
 
     dz = _from_lanes(dz_l, B)                         # (B, N+1, nz)
     du = _from_lanes(du_l, B)                         # (B, N, nu)

@@ -94,3 +94,22 @@ def test_lanes_native_pinning():
         mu0=jnp.float32(1e-3))
     np.testing.assert_allclose(np.asarray(pinned.U[:, :k]),
                                np.asarray(U0[:, :k]), atol=1e-6)
+
+
+def test_lanes_native_pallas_backend_matches_scan():
+    """solve_batch_tpu with the zero-transpose pallas kernel path (interpret
+    mode on CPU) agrees with its own lanes scan path, including at a batch
+    that needs lane padding (B=8 pads to 128 inside the kernel wrapper)."""
+    prob, mp = _problem("double_pendulum", 4, 2, 40.0)
+    B = 8
+    pb = _batch_params(mp, prob, B)
+    ref = solve_batch_tpu(prob, pb,
+                          opts=SolverOptions(tol=1e-4, max_iter=25,
+                                             kkt_backend="riccati"))
+    out = solve_batch_tpu(prob, pb,
+                          opts=SolverOptions(tol=1e-4, max_iter=25,
+                                             kkt_backend="pallas"))
+    ok = (np.asarray(ref.status) == 0) & (np.asarray(out.status) == 0)
+    assert ok.mean() >= 0.9, (ref.status, out.status)
+    np.testing.assert_allclose(np.asarray(out.U)[ok], np.asarray(ref.U)[ok],
+                               atol=2e-3, rtol=1e-3)

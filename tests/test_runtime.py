@@ -168,3 +168,24 @@ def test_linear_mode_runtime(tmp_path):
     plan = mc.calc_u(0.0, [0.05, 0.0], [0.1], traj)
     assert plan.status == 0
     assert plan.iters <= 5  # LTV + quadratic cost ≈ one Newton step
+
+
+def test_fixed_warm_runtime_roundtrip(tmp_path):
+    """fixed_warm_iters: the generator exports a straight-line warm program
+    (<name>_warm.mpcx), the runtime loads it and uses it for warm re-solves."""
+    from mahi_mpc_tpu.runtime.generate import WARM_SUFFIX, generate_model
+
+    mp = _pendulum_params("fixed_rt")
+    opts = SolverOptions(tol=1e-5, max_iter=40, fixed_warm_iters=3)
+    art = generate_model(mp, make_dynamics("pendulum"), tmp_path, opts)
+    assert (tmp_path / f"{mp.name}{WARM_SUFFIX}").is_file()
+
+    mc = ModelControl("fixed_rt", directory=tmp_path, opts=opts)
+    assert mc._warm_fn is not None
+    traj = _sin_traj(mp, 0.0)
+    p1 = mc.calc_u(0.0, [0.5, 0.0], [0.0], traj)      # cold: adaptive
+    p2 = mc.calc_u(0.002, [0.5, 0.01], [0.0], traj)   # warm: fixed program
+    assert p2.iters == 3
+    assert p1.status in (0, 1) and p2.status in (0, 1)
+    # warm plan continues the cold plan smoothly
+    assert np.max(np.abs(p2.U - p1.U)) < 1.0
