@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batches", type=int, nargs="*", default=[256, 1024, 4096])
     ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--solvers", nargs="*",
+                    default=["batched_lanes", "all_lanes"])
+    ap.add_argument("--kkts", nargs="*", default=["riccati", "pallas"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -56,8 +59,10 @@ def main():
     dtype = jnp.float32
     rng = np.random.default_rng(0)
 
-    solvers = {"batched_lanes": solve_batch_lanes, "all_lanes": solve_batch_tpu}
-    backends = ["riccati", "pallas"]
+    all_solvers = {"batched_lanes": solve_batch_lanes,
+                   "all_lanes": solve_batch_tpu}
+    solvers = {k: all_solvers[k] for k in args.solvers}
+    backends = args.kkts
 
     for B in args.batches:
         p = default_params(mp, dtype=dtype)
@@ -107,6 +112,9 @@ def main():
                            "error": repr(e)[:300]}
                 report["rows"].append(row)
                 print(json.dumps(row), flush=True)
+                if args.out:  # flush partial results after every row: a
+                    with open(args.out, "w") as f:  # wedged tunnel or timeout
+                        json.dump(report, f, indent=2)  # still leaves data
 
     if args.out:
         with open(args.out, "w") as f:

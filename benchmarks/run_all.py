@@ -36,6 +36,10 @@ CONFIGS = {
     6: dict(name="mahi_arm_ltv", model="mahi_arm", nx=8, nu=4, N=25,
             dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4, is_linear=True,
             desc="4-DOF arm, LTV successive-linearization mode (C8)"),
+    7: dict(name="mahi_arm_xbounds", model="mahi_arm", nx=8, nu=4, N=25,
+            dt=0.002, u_lim=20.0, q=[10.0] * 4 + [1.0] * 4,
+            x_lim=[None] * 4 + [2.0] * 4,
+            desc="4-DOF arm with joint-velocity state bounds (C5)"),
 }
 
 
@@ -50,11 +54,16 @@ def bench_config(cfg, batch, rounds, opts_kw):
     from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
 
     dyn = make_dynamics(cfg["model"])
+    x_lim = cfg.get("x_lim")
+    xb = {}
+    if x_lim is not None:
+        xb = {"x_min": [-(v if v is not None else np.inf) for v in x_lim],
+              "x_max": [(v if v is not None else np.inf) for v in x_lim]}
     mp = ModelParameters(
         cfg["name"], num_x=dyn.nx, num_u=dyn.nu, step_size=cfg["dt"],
         num_shooting_nodes=cfg["N"], u_min=[-cfg["u_lim"]] * dyn.nu,
         u_max=[cfg["u_lim"]] * dyn.nu, dynamics_name=cfg["model"],
-        is_linear=cfg.get("is_linear", False))
+        is_linear=cfg.get("is_linear", False), **xb)
     prob = make_problem(mp, dyn)
     opts = SolverOptions(**opts_kw)
     dtype = jnp.dtype(opts.dtype)
@@ -124,11 +133,88 @@ def bench_config(cfg, batch, rounds, opts_kw):
     }
 
 
+def bench_batch1_fixed(cfg, rounds, opts_kw):
+    """Batch-1 latency decomposition (round-2 VERDICT item 6): the
+    latency-shaped fixed-3-iteration program (solver/fixed.py, no While ops)
+    vs the adaptive solver, plus a null-program round trip — the pure
+    dispatch floor of this backend — so warm_p50 decomposes into
+    dispatch + compute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mahi_mpc_tpu import ModelParameters, SolverOptions
+    from mahi_mpc_tpu.models import make_dynamics
+    from mahi_mpc_tpu.solver import solve, solve_fixed
+    from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
+
+    dyn = make_dynamics(cfg["model"])
+    mp = ModelParameters(
+        cfg["name"] + "_fx", num_x=dyn.nx, num_u=dyn.nu, step_size=cfg["dt"],
+        num_shooting_nodes=cfg["N"], u_min=[-cfg["u_lim"]] * dyn.nu,
+        u_max=[cfg["u_lim"]] * dyn.nu, dynamics_name=cfg["model"])
+    prob = make_problem(mp, dyn)
+    opts = SolverOptions(**opts_kw)
+    dtype = jnp.dtype(opts.dtype)
+    rng = np.random.default_rng(0)
+    p = default_params(mp, dtype=dtype)
+    p = p._replace(q=jnp.asarray(cfg["q"], dtype),
+                   r=jnp.full((dyn.nu,), 0.1, dtype),
+                   rm=jnp.full((dyn.nu,), 0.01, dtype),
+                   x0=jnp.asarray(0.2 * rng.standard_normal(dyn.nx), dtype),
+                   x_des=jnp.asarray(
+                       0.2 * rng.standard_normal((cfg["N"], dyn.nx)), dtype))
+
+    # Null-program round trip: dispatch floor (enqueue + execute trivial op +
+    # scalar pull) with the same methodology as the solve timing.
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((), dtype)
+    x = null(x)
+    float(x)
+    t0 = time.perf_counter()
+    reps = 30
+    for _ in range(reps):
+        x = null(x)
+    float(x)
+    null_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    cold = jax.jit(lambda pp, X, U, mu: solve(prob, pp, X, U, opts, mu0=mu))
+    fixed = jax.jit(lambda pp, X, U, mu: solve_fixed(
+        prob, pp, X, U, opts, mu0=mu, n_iter=3))
+    mu_cold = jnp.asarray(opts.mu_init, dtype)
+    mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+
+    res = cold(p, jnp.zeros((cfg["N"] + 1, dyn.nx), dtype),
+               jnp.zeros((cfg["N"], dyn.nu), dtype), mu_cold)
+    float(jnp.sum(res.U))
+
+    lat = []
+    for i in range(rounds):
+        p = p._replace(x0=p.x0 + jnp.asarray(0.002 * np.sin(i), dtype))
+        t0 = time.perf_counter()
+        res = fixed(p, res.X, res.U, mu_warm)
+        float(jnp.sum(res.U))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat[1:])  # drop the fixed-program compile round
+    p50 = float(np.percentile(lat, 50) * 1e3)
+    return {
+        "desc": cfg["desc"] + " — fixed-3-iteration latency program",
+        "batch": 1,
+        "warm_p50_ms": round(p50, 2),
+        "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+        "null_roundtrip_ms": round(null_ms, 2),
+        "compute_ms_est": round(p50 - null_ms, 2),
+        "kkt": float(res.kkt),
+        "converged": bool(res.status == 0),
+        "fits_1kHz_budget": bool(float(np.percentile(lat, 99) * 1e3) <= 1.0),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--configs", type=int, nargs="*",
-                    default=[1, 2, 3, 4, 5, 6])
+                    default=[1, 2, 3, 4, 5, 6, 7])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-4)
@@ -161,6 +247,12 @@ def main():
             r1["fits_1kHz_budget"] = bool(r1["warm_p99_ms"] <= 1.0)
             report["configs"]["4_batch1_latency"] = r1
             print(f"config 4 @ batch 1 (1 kHz check): {json.dumps(r1)}",
+                  flush=True)
+            r1f = bench_batch1_fixed(cfg, max(args.rounds, 50),
+                                     dict(tol=args.tol,
+                                          max_iter=args.max_iter))
+            report["configs"]["4_batch1_fixed"] = r1f
+            print(f"config 4 @ batch 1 (fixed program): {json.dumps(r1f)}",
                   flush=True)
     if args.out:
         with open(args.out, "w") as f:
