@@ -196,14 +196,13 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
                   | jnp.any(jnp.isfinite(p.u_max), axis=1)
                   | jnp.any(jnp.isfinite(p.x_min), axis=1)
                   | jnp.any(jnp.isfinite(p.x_max), axis=1))   # (B,)
-    mu_floor = jnp.maximum(opts.mu_min, 0.1 * opts.tol)
+    from . import loop_common as lc
+    floor = lc.mu_floor(opts)
     if mu0 is None:
         mu0 = jnp.asarray(opts.mu_init, dtype)
-    mu_init = jnp.where(has_bounds,
-                        jnp.maximum(jnp.asarray(mu0, dtype), mu_floor),
-                        jnp.asarray(opts.mu_min, dtype))      # (B,)
+    mu_init = lc.mu_start(has_bounds, mu0, floor, opts.mu_min, dtype)  # (B,)
     tol = jnp.asarray(opts.tol, dtype)
-    mu_min = jnp.asarray(mu_floor, dtype)
+    mu_min = jnp.asarray(floor, dtype)
 
     def body(s: _LoopState) -> _LoopState:
         lin = (_linearize_ltv(prob, s.X, s.U, p) if prob.is_linear
@@ -253,17 +252,13 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
             a, it, ok = c
             return jnp.any(~ok) & (it < opts.linesearch_steps)
 
-        # Armijo with an fp32 noise floor (see sqp.py ls_body): without it
-        # the exact test rejects good Newton steps once the predicted
-        # decrease drops below merit roundoff, grinding warm re-solves.
-        eps_m = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(m0))
+        eps_m = lc.armijo_eps(m0, dtype)
 
         def ls_body(c):
             a, it, ok = c
             m_new = _merit_batch(prob, s.X + a[:, None, None] * dX,
                                  s.U + a[:, None, None] * dU, p, s.mu, nu_pen)
-            pass_ = jnp.isfinite(m_new) & (
-                m_new <= m0 + 1e-4 * a * ddir + eps_m)
+            pass_ = lc.armijo_pass(m_new, m0, a, ddir, eps_m)
             a_next = jnp.where(ok, a, jnp.where(pass_, a, 0.5 * a))
             return (a_next, it + 1, ok | pass_)
 
@@ -281,16 +276,11 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
         X_new = jnp.where(bad[:, None, None], s.X, X_new)
         U_new = jnp.where(bad[:, None, None], s.U, U_new)
         no_move = bad | (alpha == 0.0)
-        reg_new = jnp.where(no_move, jnp.minimum(s.reg * 10.0 + 1e-6, 1e8),
-                            jnp.maximum(s.reg * 0.25, 1e-8))
-
-        inner_done = ((step_norm < jnp.maximum(10.0 * s.mu, tol))
-                      & (feas < 10.0 * tol))
-        mu_new = jnp.where(inner_done,
-                           jnp.maximum(mu_min, opts.kappa_mu * s.mu), s.mu)
-
-        converged = (step_norm < tol) & (feas < tol) & (s.mu <= 2.0 * mu_min)
-        diverged = reg_new >= 1e8
+        reg_new = lc.reg_update(s.reg, no_move)
+        mu_new = lc.mu_update(s.mu, step_norm, feas, tol, mu_min,
+                              opts.kappa_mu)
+        converged, diverged = lc.convergence(step_norm, feas, s.mu, reg_new,
+                                             tol, mu_min)
         status = jnp.where(converged, CONVERGED,
                            jnp.where(diverged, DIVERGED, s.status))
         done = converged | diverged

@@ -72,16 +72,15 @@ def solve_fixed(prob: ShootingProblem, p: MPCParams,
         jax.vmap(lambda x: _strict_interior(x, p.x_min, p.x_max))(X0[1:])])
     U = jax.vmap(lambda u: _strict_interior(u, p.u_min, p.u_max))(U0)
 
+    from . import loop_common as lc
     has_bounds = (jnp.any(jnp.isfinite(p.u_min)) | jnp.any(jnp.isfinite(p.u_max))
                   | jnp.any(jnp.isfinite(p.x_min)) | jnp.any(jnp.isfinite(p.x_max)))
-    mu_floor = jnp.maximum(opts.mu_min, 0.1 * opts.tol)
+    floor = lc.mu_floor(opts)
     if mu0 is None:
         mu0 = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
-    mu = jnp.where(has_bounds,
-                   jnp.maximum(jnp.asarray(mu0, dtype), mu_floor),
-                   jnp.asarray(opts.mu_min, dtype))
+    mu = lc.mu_start(has_bounds, mu0, floor, opts.mu_min, dtype)
     tol = jnp.asarray(opts.tol, dtype)
-    mu_min = jnp.asarray(mu_floor, dtype)
+    mu_min = jnp.asarray(floor, dtype)
     reg = jnp.asarray(1e-8, dtype)
     nu_pen = jnp.asarray(1.0, dtype)
     fan = jnp.asarray(LS_FAN, dtype)
@@ -117,14 +116,13 @@ def solve_fixed(prob: ShootingProblem, p: MPCParams,
                 + jnp.sum(qp.gu * dU) + qp.gf @ jnp.concatenate(
                     [dX[-1], dU[-1]])
                 - nu_pen * jnp.sum(jnp.abs(qp.r)))
-        eps_m = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(m0))
+        eps_m = lc.armijo_eps(m0, dtype)
 
         alphas = alpha_max * fan                                  # (K,)
         merits = jax.vmap(
             lambda a: merit(prob, X + a * dX, U + a * dU, p, mu, nu_pen))(
             alphas)                                               # (K,)
-        passing = jnp.isfinite(merits) & (
-            merits <= m0 + 1e-4 * alphas * ddir + eps_m)
+        passing = lc.armijo_pass(merits, m0, alphas, ddir, eps_m)
         # Largest passing candidate (fan is descending); 0 if none pass.
         first = jnp.argmax(passing)                               # first True
         alpha = jnp.where(jnp.any(passing), alphas[first], 0.0)
@@ -136,11 +134,8 @@ def solve_fixed(prob: ShootingProblem, p: MPCParams,
         X = jnp.where(bad, X, X_new)
         U = jnp.where(bad, U, U_new)
         no_move = bad | (alpha == 0.0)
-        reg = jnp.where(no_move, jnp.minimum(reg * 10.0 + 1e-6, 1e8),
-                        jnp.maximum(reg * 0.25, 1e-8))
-
-        inner_done = (step_norm < jnp.maximum(10.0 * mu, tol)) & (feas < 10.0 * tol)
-        mu = jnp.where(inner_done, jnp.maximum(mu_min, opts.kappa_mu * mu), mu)
+        reg = lc.reg_update(reg, no_move)
+        mu = lc.mu_update(mu, step_norm, feas, tol, mu_min, opts.kappa_mu)
 
     converged = (step_norm < tol) & (feas < tol)
     status = jnp.where(converged, CONVERGED, MAX_ITER)

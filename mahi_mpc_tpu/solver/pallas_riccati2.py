@@ -206,6 +206,23 @@ def solve_lqr_pallas2_lanes(ins: tuple, interpret: bool = False
     assert Bp % TILE == 0, f"batch {Bp} must be a multiple of {TILE}"
     nb = Bp // TILE
 
+    # VMEM guard (same policy as the v1 kernel): per-tile footprint of all
+    # inputs + outputs + K/kff scratch at TILE=1024 instances, doubled for
+    # Mosaic's block double-buffering, must fit the raised 100 MiB limit.
+    itemsize = jnp.dtype(dtype).itemsize
+    per_tile_elems = (
+        N * (2 * nz * nz + 2 * nz * nu + nu * nu + 2 * nz + 2 * nu)
+        + nz * nz + nz + (N + 1) * nz + N * nu
+        + N * nu * nz + N * nu)
+    vmem_bytes = per_tile_elems * TILE * itemsize
+    VMEM_BUDGET = 40 * 2 ** 20
+    if vmem_bytes > VMEM_BUDGET:
+        raise ValueError(
+            f"pallas2 Riccati kernel needs ~{vmem_bytes / 2**20:.1f} MiB of "
+            f"VMEM per 1024-instance tile (N={N}, nz={nz}, nu={nu}), over "
+            f"the ~{VMEM_BUDGET / 2**20:.0f} MiB budget; use the v1 lanes "
+            "kernel or kkt_backend='riccati' for this problem size")
+
     def to_tiles(a):
         # (..., B) -> (..., nb, SUB, LANES); grid walks the nb axis.
         return a.reshape(a.shape[:-1] + (nb, SUB, LANES))

@@ -102,21 +102,15 @@ def solve(prob: ShootingProblem, p: MPCParams,
         jax.vmap(lambda x: _strict_interior(x, p.x_min, p.x_max))(X0[1:])])
     U0 = jax.vmap(lambda u: _strict_interior(u, p.u_min, p.u_max))(U0)
 
+    from . import loop_common as lc
     has_bounds = (jnp.any(jnp.isfinite(p.u_min)) | jnp.any(jnp.isfinite(p.u_max))
                   | jnp.any(jnp.isfinite(p.x_min)) | jnp.any(jnp.isfinite(p.x_max)))
     if mu0 is None:
         mu0 = jnp.asarray(opts.mu_init, dtype)
-    mu_floor = jnp.maximum(opts.mu_min, 0.1 * opts.tol)
-    mu0 = jnp.where(has_bounds,
-                    jnp.maximum(jnp.asarray(mu0, dtype), mu_floor),
-                    jnp.asarray(opts.mu_min, dtype))
-
+    floor = lc.mu_floor(opts)
+    mu0 = lc.mu_start(has_bounds, mu0, floor, opts.mu_min, dtype)
     tol = jnp.asarray(opts.tol, dtype)
-    # Barrier floor: the barrier solution differs from the NLP solution by
-    # O(mu), so stopping once mu <= 0.1*tol (or the hard floor mu_min)
-    # delivers tol-accurate solutions without grinding mu to 1e-9 — the same
-    # coupling IPOPT uses (barrier stop tied to tol).
-    mu_min = jnp.asarray(mu_floor, dtype)
+    mu_min = jnp.asarray(floor, dtype)
 
     def body(s: _LoopState) -> _LoopState:
         qp = build_stage_qp(prob, s.X, s.U, p, s.mu, s.reg,
@@ -158,19 +152,12 @@ def solve(prob: ShootingProblem, p: MPCParams,
             a, m, it, ok = c
             return (~ok) & (it < opts.linesearch_steps)
 
-        # Armijo with an fp32 noise floor: near convergence the predicted
-        # decrease 1e-4*a*ddir is orders of magnitude below the merit's
-        # roundoff (eps*|m0| ~ 3e-5 at m0 ~ 300), so the exact test becomes
-        # a coin flip that rejects good Newton steps and grinds the warm
-        # re-solve from ~5 to ~30+ iterations.  Accepting within the noise
-        # floor restores full steps (IPOPT's acceptable-point relaxation).
-        eps_m = 10.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(m0))
+        eps_m = lc.armijo_eps(m0, dtype)
 
         def ls_body(c):
             a, m, it, ok = c
             m_new = try_alpha(a)
-            pass_ = jnp.isfinite(m_new) & (
-                m_new <= m0 + 1e-4 * a * ddir + eps_m)
+            pass_ = lc.armijo_pass(m_new, m0, a, ddir, eps_m)
             a_next = jnp.where(pass_, a, 0.5 * a)
             return (a_next, jnp.where(pass_, m_new, m), it + 1, pass_)
 
@@ -187,21 +174,19 @@ def solve(prob: ShootingProblem, p: MPCParams,
         X_new = jnp.where(bad, s.X, X_new)
         U_new = jnp.where(bad, s.U, U_new)
         no_move = bad | (alpha == 0.0)
-        reg_new = jnp.where(no_move, jnp.minimum(s.reg * 10.0 + 1e-6, 1e8),
-                            jnp.maximum(s.reg * 0.25, 1e-8))
-
-        # Barrier update: once the inner Newton is past its mu-resolution,
-        # shrink mu (monotone Fiacco-McCormick).
-        inner_done = (step_norm < jnp.maximum(10.0 * s.mu, tol)) & (feas < 10.0 * tol)
-        mu_new = jnp.where(inner_done, jnp.maximum(mu_min, opts.kappa_mu * s.mu), s.mu)
-
-        converged = (step_norm < tol) & (feas < tol) & (s.mu <= 2.0 * mu_min)
-        diverged = reg_new >= 1e8
+        reg_new = lc.reg_update(s.reg, no_move)
+        mu_new = lc.mu_update(s.mu, step_norm, feas, tol, mu_min,
+                              opts.kappa_mu)
+        converged, diverged = lc.convergence(step_norm, feas, s.mu, reg_new,
+                                             tol, mu_min)
         status = jnp.where(converged, CONVERGED,
                            jnp.where(diverged, DIVERGED, s.status))
         done = converged | diverged
 
-        keep = s.done  # instances already finished don't move
+        # Freeze finished instances (same masking as the batched drivers;
+        # under jax.vmap the while_loop batching rule also selects on cond,
+        # so this is the belt to that suspenders).
+        keep = s.done | (s.it >= opts.max_iter)
         sel = lambda new, old: jnp.where(keep, old, new)
         return _LoopState(
             X=sel(X_new, s.X), U=sel(U_new, s.U), mu=sel(mu_new, s.mu),
