@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Full-solve A/B: solve_batch_lanes vs solve_batch_tpu x scan vs pallas KKT.
+"""Full-solve A/B: the batched SQP driver x scan vs pallas KKT backends.
 
-Round-2 VERDICT item 2: `solve_batch_tpu` (the all-lanes SQP written to kill
-the batch-first layout overhead) was never measured on TPU — promote it onto
-the production path or delete it.  This harness measures the four
-combinations on the headline problem (4-DOF arm, N=25, bounded, warm
-receding-horizon regime) with honest chained timing, so the production
-solver is chosen by committed numbers.
+Round-2 VERDICT item 2 history: this harness originally measured
+`solve_batch_lanes` against `solve_batch_tpu` (an all-lanes SQP written to
+kill the batch-first layout overhead) on the headline problem (4-DOF arm,
+N=25, bounded, warm receding-horizon regime) with honest chained timing.
+The committed verdict (results_ab.json, 2026-08-21): the two tied within
++-1% at batch 1024 and 4096 once the pallas KKT backend is on, so
+solve_batch_tpu was deleted and one production batched solver remains.
+The harness stays for driver x KKT-backend measurement.
 
 Usage:
     python benchmarks/bench_ab.py [--batches 256 1024 4096]
@@ -27,7 +29,7 @@ def main():
     ap.add_argument("--batches", type=int, nargs="*", default=[256, 1024, 4096])
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--solvers", nargs="*",
-                    default=["batched_lanes", "all_lanes"])
+                    default=["batched_lanes"])
     ap.add_argument("--kkts", nargs="*", default=["riccati", "pallas"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -43,7 +45,6 @@ def main():
     from mahi_mpc_tpu import ModelParameters, SolverOptions
     from mahi_mpc_tpu.models import make_dynamics
     from mahi_mpc_tpu.solver.batched import solve_batch_lanes
-    from mahi_mpc_tpu.solver.lanes import solve_batch_tpu
     from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
 
     dev = str(jax.devices()[0])
@@ -59,9 +60,13 @@ def main():
     dtype = jnp.float32
     rng = np.random.default_rng(0)
 
-    all_solvers = {"batched_lanes": solve_batch_lanes,
-                   "all_lanes": solve_batch_tpu}
-    solvers = {k: all_solvers[k] for k in args.solvers}
+    # "all_lanes" (solve_batch_tpu) was measured here on 2026-08-21 and tied
+    # batched_lanes+pallas within +-1% at 1024/4096 (results_ab.json rows);
+    # it was deleted per the promote-or-delete decision — one production
+    # batched solver remains.
+    all_solvers = {"batched_lanes": solve_batch_lanes}
+    solvers = {k: all_solvers[k] for k in args.solvers
+               if k in all_solvers}
     backends = args.kkts
 
     for B in args.batches:

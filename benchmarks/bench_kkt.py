@@ -94,25 +94,16 @@ def main():
     report = {"device": dev, "N": args.n, "nz": nz, "nu": args.nu,
               "hbm_bw_GBs": bw / 1e9, "rows": []}
 
-    from mahi_mpc_tpu.solver.pallas_riccati2 import (TILE,
-                                                     solve_lqr_pallas2_lanes)
-
-    @jax.jit
-    def pallas2(q):
-        ins = tuple(jnp.moveaxis(a, 0, -1) for a in q)
-        dz, du = solve_lqr_pallas2_lanes(ins, interpret=default_interpret())
-        from mahi_mpc_tpu.solver.riccati import LQRSolution, _multipliers
-        dz = jnp.moveaxis(dz, -1, 0)
-        du = jnp.moveaxis(du, -1, 0)
-        return LQRSolution(dz=dz, du=du,
-                           lam=jax.vmap(_multipliers)(q, dz, du))
-
+    # A "pallas2" batch-in-sublanes kernel (1024 instances/tile, one (8,128)
+    # vreg per small-matrix element) was measured here on 2026-08-21 and
+    # removed: ~20 s/launch at B=1024 vs the v1 kernel's 2.6 ms — whole-
+    # horizon blocks plus per-element tiles defeat Mosaic's pipelining
+    # (negative-result row in results_kkt.json; docs/PERFORMANCE.md §1).
     backends = {
         "scan": jax.jit(jax.vmap(solve_lqr_scan)),
         "pariccati": jax.jit(jax.vmap(solve_lqr_parallel)),
         "pallas": jax.jit(lambda q: solve_lqr_pallas_batch(
             q, interpret=default_interpret())),
-        "pallas2": pallas2,   # batch-in-sublanes kernel; needs B % 1024 == 0
     }
 
     ref_sol = None

@@ -175,8 +175,7 @@ def solve_lqr_pallas_lanes(ins: tuple, interpret: bool = False
     ``(Az, Bz, r, Hzz, Hzu, Huu, gz, gu, Hf, gf)`` already in lanes layout
     (trailing batch axis on every array, e.g. Az ``(N, nz, nz, B)``) with
     ``B`` a multiple of 128.  Returns ``(dz, du)`` in lanes layout —
-    zero transposes, so the all-lanes SQP (solver/lanes.py) feeds the kernel
-    its QP directly."""
+    zero transposes for callers that already hold the QP in lanes layout."""
     Az, Bz = ins[0], ins[1]
     N, nz = Az.shape[0], Az.shape[1]
     nu = Bz.shape[2]

@@ -221,8 +221,7 @@ def solve_batch(prob: ShootingProblem, p_batch: MPCParams,
     Note: ``opts.kkt_backend='pallas'`` is not intended for this vmapped
     path — each instance would pad to a 128-lane kernel (~128x wasted
     work).  Batched callers wanting the Pallas kernel should use
-    ``solve_batch_lanes`` / ``solve_batch_tpu``, which feed it whole
-    batches."""
+    ``solve_batch_lanes``, which feeds it whole batches."""
     in_axes = (0, 0 if X0 is not None else None, 0 if U0 is not None else None)
     fn = lambda pp, xx, uu: solve(prob, pp, xx, uu, opts, mu0=mu0)
     return jax.vmap(fn, in_axes=in_axes)(p_batch, X0, U0)

@@ -91,20 +91,6 @@ def test_sqp_backend_parity():
     assert int(jnp.sum(res_pl.status == 0)) == B
 
 
-def test_pallas2_sublanes_kernel_matches_scan():
-    """v2 kernel (batch-in-sublanes, 1024 instances/tile) vs the scan oracle
-    in interpret mode; exercises two grid steps (B=2048)."""
-    import jax.numpy as jnp
-    from mahi_mpc_tpu.solver.pallas_riccati2 import solve_lqr_pallas2_lanes
-
-    B, N = 2048, 6
-    qp = _random_qp_batch(B=B, N=N, nz=5, nu=2, seed=2)
-    ref = jax.vmap(solve_lqr_scan)(qp)
-    ins = tuple(jnp.moveaxis(a, 0, -1) for a in qp)
-    dz, du = solve_lqr_pallas2_lanes(ins, interpret=True)
-    dz = jnp.moveaxis(dz, -1, 0)
-    du = jnp.moveaxis(du, -1, 0)
-    np.testing.assert_allclose(np.asarray(du), np.asarray(ref.du),
-                               atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(dz), np.asarray(ref.dz),
-                               atol=1e-4, rtol=1e-4)
+# (A "pallas2" batch-in-sublanes kernel and its interpret-mode test lived
+# here until 2026-08-21; removed after real-TPU measurement showed it ~7800x
+# slower than the v1 lanes kernel — see results_kkt.json negative-result row.)

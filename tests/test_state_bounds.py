@@ -112,10 +112,11 @@ def _bounded_batch(B=8, N=12, vlim=1.0):
 
 
 def test_state_bounds_lanes_parity():
-    """solve_batch_lanes and solve_batch_tpu agree with jax.vmap(solve) on a
-    batch with finite state bounds (same algorithm, lanes layouts)."""
+    """solve_batch_lanes agrees with jax.vmap(solve) on a batch with finite
+    state bounds (same algorithm, lanes layout).  (A second lanes driver,
+    solve_batch_tpu, was also pinned here until the 2026-08-21 TPU A/B
+    showed it tied with this one — results_ab.json — and it was removed.)"""
     from mahi_mpc_tpu.solver.batched import solve_batch_lanes
-    from mahi_mpc_tpu.solver.lanes import solve_batch_tpu
 
     prob, pb = _bounded_batch()
     opts = SolverOptions(tol=1e-4, max_iter=60)
@@ -127,11 +128,9 @@ def test_state_bounds_lanes_parity():
         pb, X0, U0)
     got_l = jax.jit(lambda p_, x, u: solve_batch_lanes(prob, p_, x, u, opts))(
         pb, X0, U0)
-    got_t = jax.jit(lambda p_, x, u: solve_batch_tpu(prob, p_, x, u, opts))(
-        pb, X0, U0)
 
     vlim = 1.0
-    for got in (got_l, got_t):
+    for got in (got_l,):
         ok = (np.asarray(ref.status) == 0) & (np.asarray(got.status) == 0)
         assert ok.mean() >= 0.75, (ref.status, got.status)
         X = np.asarray(got.X)
