@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--model", default="mahi_arm")
     ap.add_argument("--horizon", type=int, default=25)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--variants", action="store_true",
+                    help="also time the three linearize formulations "
+                    "(vmapped JVP fan / unrolled JVP fan / unrolled "
+                    "reverse rows) — the data behind the unrolled-"
+                    "direction rule in solver/batched.py")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +116,52 @@ def main():
 
         lin_fn = jax.jit(lambda X, U: _linearize_lanes(prob, X, U))
         lin = timed("linearize_lanes", lin_fn, X, U, batch=B)
+
+        if args.variants:
+            # The three formulations of the stage-Jacobian computation,
+            # timed on identical inputs (docs/PERFORMANCE.md §6).  The
+            # production path is the unrolled reverse row pull
+            # (solver/batched.py _linearize_lanes fast path).
+            from mahi_mpc_tpu.models.integrators import make_step
+            nx, nuu = prob.nx, prob.nu
+            nzz = nx + nuu
+            step1 = make_step(prob.dynamics.f, prob.dt, prob.integrator)
+            stepw = lambda w: step1(w[:nx], w[nx:])
+
+            def fan_vmap(W):
+                def jvp_one(e):
+                    t = jnp.broadcast_to(e[:, None], W.shape)
+                    return jax.jvp(stepw, (W,), (t,))[1]
+                return jax.vmap(jvp_one)(jnp.eye(nzz, dtype=W.dtype))
+
+            def fan_unrolled(W):
+                cols = []
+                for i in range(nzz):
+                    e = np.zeros((nzz, 1), np.float32)
+                    e[i] = 1.0
+                    t = jnp.broadcast_to(jnp.asarray(e), W.shape)
+                    cols.append(jax.jvp(stepw, (W,), (t,))[1])
+                return jnp.stack(cols)
+
+            def vjp_rows(W):
+                Mw = W.shape[-1]
+                _, pull = jax.vjp(
+                    lambda w: prob.dynamics.f(w[:nx], w[nx:]), W)
+                rows = []
+                for i in range(nx // 2, nx):
+                    e = np.zeros((nx, 1), np.float32)
+                    e[i] = 1.0
+                    rows.append(pull(jnp.broadcast_to(
+                        jnp.asarray(e), (nx, Mw)))[0])
+                return jnp.stack(rows)
+
+            Wl = jnp.concatenate(
+                [X[:, :-1].reshape(B * prob.N, nx).T,
+                 U.reshape(B * prob.N, nuu).T], axis=0)
+            for nm, fn in (("lin_fan_vmap", fan_vmap),
+                           ("lin_fan_unrolled", fan_unrolled),
+                           ("lin_vjp_rows", vjp_rows)):
+                timed(nm, jax.jit(fn), Wl, batch=B)
 
         qp_fn = jax.jit(lambda X, U, p, mu, reg, A, Bm, c: jax.vmap(
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(

@@ -259,7 +259,7 @@ def make_serial_arm(name: str, links: List[LinkSpec],
         qdd = spd_solve_lanes(M, u - h - joint_damping * qd)
         return jnp.concatenate([qd, qdd], axis=0)
 
-    dyn = Dynamics(name, nx=2 * n, nu=n, f=f, supports_lanes=True)
+    dyn = Dynamics(name, nx=2 * n, nu=n, f=f, supports_lanes=True, nq=n)
     # Expose internals for tests and tooling (frozen dataclass -> object.__setattr__).
     object.__setattr__(dyn, "mass_matrix", mass_matrix)
     object.__setattr__(dyn, "bias", bias)

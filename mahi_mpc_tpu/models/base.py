@@ -28,6 +28,13 @@ class Dynamics:
     leading.  Scalar-expression models get this for free; it lets the
     batched solver evaluate dynamics with the scenario/node/tangent product
     in TPU lanes (solver/batched.py) instead of vmapping tiny graphs.
+
+    ``nq``: set (with ``nx == 2 * nq``) when the model is a second-order
+    mechanical system with state ``x = [q, qd]`` and ``f = [qd, acc(x, u)]``.
+    The batched linearizer then differentiates only the ``nq`` acceleration
+    rows in reverse mode (the ``qd`` rows of A/B are analytic), replacing
+    the ``nx + nu`` forward-tangent fan — the measured dominant stage of an
+    SQP iteration (docs/PERFORMANCE.md §6).
     """
 
     name: str
@@ -35,6 +42,7 @@ class Dynamics:
     nu: int
     f: Callable[[Array, Array], Array]
     supports_lanes: bool = False
+    nq: int | None = None
 
     def __call__(self, x: Array, u: Array) -> Array:
         return self.f(x, u)

@@ -50,7 +50,7 @@ def make_double_pendulum(L: float = 1.0, m: float = 1.0,
         qBdd = (m11 * rhs2 - m12 * rhs1) / det
         return jnp.stack([qAd, qBd, qAdd, qBdd])
 
-    return Dynamics("double_pendulum", nx=4, nu=2, f=f, supports_lanes=True)
+    return Dynamics("double_pendulum", nx=4, nu=2, f=f, supports_lanes=True, nq=2)
 
 
 @register("acrobot")
@@ -64,4 +64,4 @@ def make_acrobot(L: float = 1.0, m: float = 1.0, g: float = 9.81) -> Dynamics:
     def f(x: Array, u: Array) -> Array:
         return dp.f(x, jnp.stack([jnp.zeros_like(u[0]), u[0]]))
 
-    return Dynamics("acrobot", nx=4, nu=1, f=f, supports_lanes=True)
+    return Dynamics("acrobot", nx=4, nu=1, f=f, supports_lanes=True, nq=2)

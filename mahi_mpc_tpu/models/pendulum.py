@@ -22,7 +22,7 @@ def make_pendulum(m: float = 1.0, l: float = 1.0, g: float = 9.81,
         thdd = (u[0] - b * thd - m * g * l * jnp.sin(th)) / ml2
         return jnp.stack([thd, thdd])
 
-    return Dynamics("pendulum", nx=2, nu=1, f=f, supports_lanes=True)
+    return Dynamics("pendulum", nx=2, nu=1, f=f, supports_lanes=True, nq=1)
 
 
 @register("cartpole")
@@ -42,4 +42,4 @@ def make_cartpole(mc: float = 1.0, mp: float = 0.2, l: float = 0.5,
                 - (mc + mp) * g * s) / (l * den)
         return jnp.stack([pd, thd, pdd, thdd])
 
-    return Dynamics("cartpole", nx=4, nu=1, f=f, supports_lanes=True)
+    return Dynamics("cartpole", nx=4, nu=1, f=f, supports_lanes=True, nq=2)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops.precision import highest_precision
@@ -94,26 +95,98 @@ def _defects_lanes(prob: ShootingProblem, X: Array, U: Array) -> Array:
 
 
 def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array):
-    """Stage Jacobians for the whole batch with node x batch in lanes and
-    the (nz+1) tangent fan vmapped at axis 0: returns
-    A (B, N, nx, nx), Bm (B, N, nx, nu), c (B, N, nx)."""
+    """Stage Jacobians for the whole batch with node x batch in lanes:
+    returns A (B, N, nx, nx), Bm (B, N, nx, nu), c (B, N, nx).
+
+    Two paths (pinned against each other in
+    tests/test_batched_lanes.py::test_second_order_linearize_parity):
+
+    - **second-order fast path** (Euler step + ``Dynamics.nq`` set): the
+      model is ``f = [qd, acc]``, so the step Jacobian is
+      ``I + dt * [[0, I, 0], [Jacc]]`` with only the ``nq`` acceleration
+      rows needing AD.  Those come from ``nq`` reverse-mode cotangent
+      pulls (one shared forward pass) instead of ``nz = nx + nu`` forward
+      tangents — for the 4-DOF arm that is 4 backward passes vs 12 JVPs
+      through the trig/mass-matrix graph.  Linearization is the dominant
+      stage of a batched SQP iteration (docs/PERFORMANCE.md §6), which is
+      what makes this worth special-casing.
+    - generic path: the (nz)-tangent JVP fan through the discrete step,
+      for RK4 or models without the ``[q, qd]`` structure.
+
+    Both paths take their AD directions in an **unrolled Python loop with
+    constant unit (co)tangents**, never ``vmap`` over directions: vmapping
+    makes every direction's tangent a dense batched operand, so XLA must
+    push all directions through every op; with unrolled constants the
+    zeros constant-fold and each direction's graph shrinks to the ops it
+    actually touches (e.g. a u-direction tangent never enters the
+    trig/mass-matrix chains).  Isolated-stage timings on TPU v5e at
+    B=1024, mahi_arm: vmapped fan 74.8 ms, unrolled fan 41.8 ms, unrolled
+    reverse 31.5 ms (``profile_stages.py --variants``).  In the full solve
+    the gap compresses to a few percent, measured same-process interleaved
+    (``bench_lin_modes.py``; benchmarks/results_lin_modes_{1024,4096}.json):
+    rev 178.7 ms vs fan 185.2 ms per warm round at B=1024, 722 vs 729 at
+    4096 — rev is the default; its one tradeoff is a ~10x longer cold
+    compile (763 s vs 88 s through the remote-compile tunnel, paid once
+    per shape thanks to the persistent cache).  docs/PERFORMANCE.md §6.
+    """
     B, Np1, nx = X.shape
     N = Np1 - 1
     nu = U.shape[-1]
     nz = nx + nu
+    dtype = X.dtype
     W = jnp.concatenate([X[:, :-1].reshape(B * N, nx).T,
                          U.reshape(B * N, nu).T], axis=0)  # (nz, M)
+    M = W.shape[-1]
+
+    # Debug/measurement knob (benchmarks/bench_lin_modes.py): "rev" forces
+    # the second-order reverse path, "fan" the unrolled JVP fan, "auto"
+    # (default) picks rev when eligible.  Read at trace time.
+    import os
+    mode = os.environ.get("MAHI_MPC_LINEARIZE", "auto")
+
+    nq = prob.dynamics.nq
+    if (mode != "fan" and nq is not None and 2 * nq == nx
+            and prob.integrator == "euler"):
+        def fw(w):
+            return prob.dynamics.f(w[:nx], w[nx:])        # (nx, M)
+
+        f_val, pull = jax.vjp(fw, W)
+
+        rows = []
+        for i in range(nq, nx):                            # acc rows of Jf
+            e = np.zeros((nx, 1), np.float32)
+            e[i] = 1.0
+            rows.append(pull(jnp.broadcast_to(
+                jnp.asarray(e, dtype), (nx, M)))[0])
+        Jacc = jnp.stack(rows)                             # (nq, nz, M)
+
+        dt = jnp.asarray(prob.dt, dtype)
+        # Step Jacobian J = [I_nx | 0] + dt * Jf, assembled row-block-wise:
+        # position rows are exact (d q_next = dq + dt * d qd), acceleration
+        # rows take the pulled Jacc.
+        top = (jnp.eye(nx, nz, dtype=dtype)[:nq]
+               + dt * jnp.eye(nx, nz, k=nq, dtype=dtype)[:nq])  # (nq, nz)
+        top = jnp.broadcast_to(top[:, :, None], (nq, nz, M))
+        bot = jnp.eye(nx, nz, dtype=dtype)[nq:, :, None] + dt * Jacc
+        J = jnp.concatenate([top, bot], axis=0)            # (nx, nz, M)
+        J = jnp.transpose(J, (2, 0, 1)).reshape(B, N, nx, nz)
+        val = W[:nx] + dt * f_val                          # Euler step value
+        c = val.T.reshape(B, N, nx) - X[:, 1:]
+        return J[..., :nx], J[..., nx:], c
 
     def stepw(w):
         return _lanes_step(prob, w[:nx], w[nx:])
 
     val = stepw(W)                                         # (nx, M)
 
-    def jvp_one(e):
-        t = jnp.broadcast_to(e[:, None], W.shape)
-        return jax.jvp(stepw, (W,), (t,))[1]               # (nx, M)
+    cols = []
+    for i in range(nz):                                    # unrolled JVP fan
+        e = np.zeros((nz, 1), np.float32)
+        e[i] = 1.0
+        t = jnp.broadcast_to(jnp.asarray(e, dtype), W.shape)
+        cols.append(jax.jvp(stepw, (W,), (t,))[1])         # (nx, M)
 
-    J = jax.vmap(jvp_one)(jnp.eye(nz, dtype=X.dtype))      # (nz, nx, M)
+    J = jnp.stack(cols)                                    # (nz, nx, M)
     J = jnp.transpose(J, (2, 1, 0)).reshape(B, N, nx, nz)
     c = val.T.reshape(B, N, nx) - X[:, 1:]
     return J[..., :nx], J[..., nx:], c

@@ -1,7 +1,9 @@
 """Shared SQP-iteration logic: the single source of truth for the barrier
 schedule, Armijo noise floor, regularization ladder, and convergence
 predicates used by every solver driver (sqp.py single-instance,
-batched.py lanes-dynamics, lanes.py all-lanes, fixed.py latency-shaped).
+batched.py lanes-dynamics, fixed.py latency-shaped; a fourth all-lanes
+driver was deleted 2026-08-21 after the TPU A/B in
+benchmarks/results_ab.json showed it tied with batched.py).
 
 Round-2 VERDICT weak #5: these rules previously existed as three
 hand-synchronized copies (~1,000 LoC of duplicated driver logic) whose

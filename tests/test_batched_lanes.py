@@ -149,3 +149,36 @@ def test_lanes_solver_ltv_mode():
     # (up to one borderline step).
     assert abs(float(np.mean(np.asarray(got.iters)[ok]))
                - float(np.mean(np.asarray(ref.iters)[ok]))) <= 1.0
+
+
+@pytest.mark.parametrize("model,integrator", [
+    ("mahi_arm", "euler"),      # fast path, VJP through the mass-matrix solve
+    ("two_link_arm", "euler"),  # fast path
+    ("mahi_arm", "rk4"),        # generic JVP-fan fallback (no euler)
+])
+def test_second_order_linearize_parity(model, integrator):
+    """The second-order reverse-mode fast path of _linearize_lanes (Dynamics.nq
+    + Euler) matches the vmapped jacfwd reference; the RK4 row pins the
+    generic fallback on the same model."""
+    dyn = make_dynamics(model)
+    mp = ModelParameters(
+        "lin_t", num_x=dyn.nx, num_u=dyn.nu, step_size=0.005,
+        num_shooting_nodes=7, u_min=[-30.0] * dyn.nu, u_max=[30.0] * dyn.nu,
+        integrator=integrator)
+    prob = make_problem(mp, dyn)
+    B, N = 4, 7
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((B, N + 1, dyn.nx)) * 0.3, jnp.float32)
+    U = jnp.asarray(rng.standard_normal((B, N, dyn.nu)) * 2.0, jnp.float32)
+    p = default_params(mp)
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+
+    A_l, B_l, c_l = _linearize_lanes(prob, X, U)
+    A_v, B_v, c_v = jax.vmap(
+        lambda X_, U_, p_: prob.linearize_stages(X_, U_, p_))(X, U, pb)
+    np.testing.assert_allclose(np.asarray(A_l), np.asarray(A_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(B_l), np.asarray(B_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_v),
+                               rtol=1e-5, atol=1e-5)
