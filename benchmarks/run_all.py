@@ -81,10 +81,13 @@ def bench_config(cfg, batch, rounds, opts_kw):
                           dtype))
     if prob.is_linear:
         # LTV mode: freeze per-instance (A, B, x_dot0) at the measured state
-        # (reference C8, ModelControl.cpp:125-135).
+        # (reference C8, ModelControl.cpp:125-135).  The relinearization
+        # must be jitted: eager vmap(jacfwd) dispatches hundreds of tiny
+        # ops per call through the remote tunnel (~10 s/round measured).
         from mahi_mpc_tpu.transcribe.shooting import LinPoint
+        relin = jax.jit(lambda x0, u0: jax.vmap(dyn.linearize)(x0, u0))
         u0 = jnp.zeros((B, dyn.nu), dtype)
-        A, Bm, xd0 = jax.vmap(dyn.linearize)(pb.x0, u0)
+        A, Bm, xd0 = relin(pb.x0, u0)
         pb = pb._replace(lin=LinPoint(A, Bm, xd0, pb.x0, u0))
 
     # Lanes-batched path — the production batch layout (round-1 VERDICT
@@ -107,17 +110,19 @@ def bench_config(cfg, batch, rounds, opts_kw):
     t_cold = time.perf_counter() - t0
 
     lat = []
+    round_iters = []
     for i in range(rounds):
         pb = pb._replace(x0=pb.x0 + jnp.asarray(0.01 * np.sin(i), dtype))
         if prob.is_linear:
-            from mahi_mpc_tpu.transcribe.shooting import LinPoint
             u0 = pb.u_prev
-            A, Bm, xd0 = jax.vmap(dyn.linearize)(pb.x0, u0)
+            A, Bm, xd0 = relin(pb.x0, u0)
             pb = pb._replace(lin=LinPoint(A, Bm, xd0, pb.x0, u0))
         t0 = time.perf_counter()
         res = fn(pb, res.X, res.U, mu_warm)
         float(jnp.sum(res.U))
         lat.append(time.perf_counter() - t0)
+        round_iters.append((float(jnp.mean(res.iters)),
+                            int(jnp.max(res.iters))))
     lat = np.asarray(lat)
     return {
         "desc": cfg["desc"],
@@ -130,6 +135,8 @@ def bench_config(cfg, batch, rounds, opts_kw):
         "max_iters": int(jnp.max(res.iters)),
         "converged_frac": round(float(jnp.mean(
             (res.status == 0).astype(jnp.float32))), 3),
+        "round_ms": [round(v * 1e3, 1) for v in lat.tolist()],
+        "round_max_iters": [mi for _, mi in round_iters],
     }
 
 

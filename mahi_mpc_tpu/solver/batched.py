@@ -55,31 +55,53 @@ def _ltv_step_one(prob: ShootingProblem, lp, x: Array, u: Array) -> Array:
     return make_step(f, prob.dt, prob.integrator)(x, u)
 
 
+def _ltv_discrete(prob: ShootingProblem, p: MPCParams):
+    """Exact per-instance discrete affine step for LTV mode:
+    ``F(x, u) = Ad x + Bd u + cd`` with Ad (B, nx, nx), Bd (B, nx, nu),
+    cd (B, nx).
+
+    An affine continuous-time ``f`` stays affine through every explicit
+    integrator (Euler/midpoint/RK4 are compositions of evaluations and
+    axpys), so the discrete step is *exactly* affine and its matrices
+    depend only on the frozen linearization point ``p.lin`` — compute them
+    once per solve, outside the SQP loop, and every defect/merit
+    evaluation becomes two batched einsums (MXU work) instead of a
+    nested-vmap of tiny scalar graphs.  The nested-vmap formulation
+    measured 23 s per warm batch-256 solve on TPU v5e (results_tpu.json
+    config 6 before this change) — the einsum form is what makes LTV mode
+    usable at scale (reference C8, ``ModelControl.cpp:125-135``)."""
+    nx, nu = prob.nx, prob.nu
+
+    def one(lp):
+        joint = lambda w: _ltv_step_one(prob, lp, w[:nx], w[nx:])
+        z = jnp.zeros(nx + nu, lp.x0.dtype)
+        cd = joint(z)
+        J = jax.jacfwd(joint)(z)
+        return J[:, :nx], J[:, nx:], cd
+
+    return jax.vmap(one)(p.lin)
+
+
 def _defects_ltv(prob: ShootingProblem, X: Array, U: Array,
-                 p: MPCParams) -> Array:
+                 p: MPCParams, ltv=None) -> Array:
     """Continuity residuals under the frozen LTV step: (B, N, nx)."""
-    xn = jax.vmap(lambda lp, Xs, Us: jax.vmap(
-        lambda x, u: _ltv_step_one(prob, lp, x, u))(Xs, Us))(
-        p.lin, X[:, :-1], U)
+    Ad, Bd, cd = _ltv_discrete(prob, p) if ltv is None else ltv
+    xn = (jnp.einsum("bij,bnj->bni", Ad, X[:, :-1])
+          + jnp.einsum("bij,bnj->bni", Bd, U) + cd[:, None])
     return xn - X[:, 1:]
 
 
-def _linearize_ltv(prob: ShootingProblem, X: Array, U: Array, p: MPCParams):
+def _linearize_ltv(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
+                   ltv=None):
     """Stage Jacobians for LTV mode: exact everywhere (the step is affine),
     computed once per instance and broadcast over the horizon."""
     B, Np1, nx = X.shape
     N = Np1 - 1
     nu = U.shape[-1]
-
-    def jacs(lp):
-        joint = lambda w: _ltv_step_one(prob, lp, w[:nx], w[nx:])
-        J = jax.jacfwd(joint)(jnp.concatenate([lp.x0, lp.u0]))
-        return J[:, :nx], J[:, nx:]
-
-    Ad, Bd = jax.vmap(jacs)(p.lin)               # (B, nx, nx), (B, nx, nu)
+    Ad, Bd, cd = _ltv_discrete(prob, p) if ltv is None else ltv
     A = jnp.broadcast_to(Ad[:, None], (B, N, nx, nx))
     Bm = jnp.broadcast_to(Bd[:, None], (B, N, nx, nu))
-    return A, Bm, _defects_ltv(prob, X, U, p)
+    return A, Bm, _defects_ltv(prob, X, U, p, ltv=(Ad, Bd, cd))
 
 
 def _defects_lanes(prob: ShootingProblem, X: Array, U: Array) -> Array:
@@ -214,10 +236,10 @@ def _merit_smooth_batch(X: Array, U: Array, p: MPCParams, mu: Array) -> Array:
 
 
 def _merit_batch(prob: ShootingProblem, X: Array, U: Array, p: MPCParams,
-                 mu: Array, nu_pen: Array) -> Array:
+                 mu: Array, nu_pen: Array, ltv=None) -> Array:
     """l1 merit per instance (B,): separable cost + barrier + nu|c|_1,
     with the defects evaluated in lanes (LTV: batched affine einsums)."""
-    c = (_defects_ltv(prob, X, U, p) if prob.is_linear
+    c = (_defects_ltv(prob, X, U, p, ltv=ltv) if prob.is_linear
          else _defects_lanes(prob, X, U))
     return (_merit_smooth_batch(X, U, p, mu)
             + nu_pen * jnp.sum(jnp.abs(c), axis=(1, 2)))
@@ -277,9 +299,13 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
     tol = jnp.asarray(opts.tol, dtype)
     mu_min = jnp.asarray(floor, dtype)
 
+    # LTV mode: the exact discrete affine step depends only on the frozen
+    # linearization point, so hoist it out of the SQP loop entirely.
+    ltv_mats = _ltv_discrete(prob, p) if prob.is_linear else None
+
     def body(s: _LoopState) -> _LoopState:
-        lin = (_linearize_ltv(prob, s.X, s.U, p) if prob.is_linear
-               else _linearize_lanes(prob, s.X, s.U))
+        lin = (_linearize_ltv(prob, s.X, s.U, p, ltv=ltv_mats)
+               if prob.is_linear else _linearize_lanes(prob, s.X, s.U))
         qp = jax.vmap(
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
@@ -330,7 +356,8 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
         def ls_body(c):
             a, it, ok = c
             m_new = _merit_batch(prob, s.X + a[:, None, None] * dX,
-                                 s.U + a[:, None, None] * dU, p, s.mu, nu_pen)
+                                 s.U + a[:, None, None] * dU, p, s.mu,
+                                 nu_pen, ltv=ltv_mats)
             pass_ = lc.armijo_pass(m_new, m0, a, ddir, eps_m)
             a_next = jnp.where(ok, a, jnp.where(pass_, a, 0.5 * a))
             return (a_next, it + 1, ok | pass_)
