@@ -65,8 +65,11 @@ def main():
     # it was deleted per the promote-or-delete decision — one production
     # batched solver remains.
     all_solvers = {"batched_lanes": solve_batch_lanes}
-    solvers = {k: all_solvers[k] for k in args.solvers
-               if k in all_solvers}
+    unknown = [k for k in args.solvers if k not in all_solvers]
+    if unknown:
+        raise SystemExit(
+            f"unknown --solvers {unknown}; available: {sorted(all_solvers)}")
+    solvers = {k: all_solvers[k] for k in args.solvers}
     backends = args.kkts
 
     for B in args.batches:

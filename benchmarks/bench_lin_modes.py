@@ -4,7 +4,7 @@
 Cross-run timings through the remote-dispatch tunnel drift by +-50%, so the
 choice of stage-Jacobian formulation (solver/batched.py _linearize_lanes)
 must come from back-to-back timings in one process: this jits
-solve_batch_lanes once per MAHI_MPC_LINEARIZE mode on the headline problem
+solve_batch_lanes once per SolverOptions.linearize_mode on the headline problem
 and times warm receding-horizon rounds for each, interleaved A/B/A/B to
 cancel tunnel drift.
 
@@ -68,11 +68,12 @@ def main():
     mu_cold = jnp.asarray(opts.mu_init, dtype)
     mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
 
+    import dataclasses
     fns, warm = {}, {}
     for m in args.modes:
-        os.environ["MAHI_MPC_LINEARIZE"] = m
-        fn = jax.jit(lambda pp, xx, uu, mu: solve_batch_lanes(
-            prob, pp, xx, uu, opts, mu0=mu))
+        opts_m = dataclasses.replace(opts, linearize_mode=m)
+        fn = jax.jit(lambda pp, xx, uu, mu, o=opts_m: solve_batch_lanes(
+            prob, pp, xx, uu, o, mu0=mu))
         t0 = time.perf_counter()
         res = fn(pb, X0, U0, mu_cold)       # traces with mode m
         float(jnp.sum(res.U))
@@ -80,7 +81,6 @@ def main():
             time.perf_counter() - t0, 1)}), flush=True)
         fns[m] = fn
         warm[m] = res
-    os.environ.pop("MAHI_MPC_LINEARIZE", None)
 
     rows = []
     for pa in range(args.passes):            # interleave to cancel drift

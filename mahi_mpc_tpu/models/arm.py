@@ -20,6 +20,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.linalg import spd_solve_lanes
 from .base import Dynamics, register
@@ -47,29 +48,41 @@ class LinkSpec:
     inertia: Tuple[float, float, float]
 
 
-def _rodrigues(axis: Array, angle: Array) -> Array:
+def _rodrigues(axis, angle: Array) -> Array:
     """Rotation matrix about a unit axis; shape-polymorphic: angle (...)
-    gives R of shape (3, 3, ...) — component indices lead, batch trails."""
-    kx, ky, kz = axis[0], axis[1], axis[2]
-    K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]],
-                  dtype=angle.dtype)
+    gives R of shape (3, 3, ...) — component indices lead, batch trails.
+
+    ``axis`` is a *static* numpy 3-vector, so K and K@K fold to numpy
+    constants at trace time — no tiny matmul ops enter the graph (which
+    also lets this trace inside a Pallas kernel, where Mosaic has no
+    lowering for 3x3 dot_general)."""
+    kx, ky, kz = float(axis[0]), float(axis[1]), float(axis[2])
+    K = np.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]],
+                 dtype=angle.dtype)
     KK = K @ K
     s, c = jnp.sin(angle), jnp.cos(angle)
     ext = (3, 3) + (1,) * jnp.ndim(angle)
-    return (jnp.eye(3, dtype=angle.dtype).reshape(ext) + s * K.reshape(ext)
+    return (np.eye(3, dtype=angle.dtype).reshape(ext) + s * K.reshape(ext)
             + (1.0 - c) * KK.reshape(ext))
 
 
 def _mm3(A: Array, B: Array) -> Array:
-    """(3,3,...) @ (3,3,...)."""
-    return jnp.einsum("ij...,jk...->ik...", A, B)
+    """(3,3,...) @ (3,3,...) as broadcast-multiply-reduce.
+
+    Equivalent to einsum("ij...,jk...->ik...") but lowers to elementwise
+    mul + a reduction over a *leading* (untiled) axis — the form that maps
+    to full-tile VPU work for trailing-batch layouts and that Pallas/Mosaic
+    can lower (no dot_general on tiny contracting dims)."""
+    return jnp.sum(A[:, :, None] * B[None, :, :], axis=1)
 
 
 def _mv3(A: Array, b) -> Array:
-    """(3,3,...) @ (3[,...])."""
-    if jnp.ndim(b) == 1:
-        return jnp.einsum("ij...,j->i...", A, jnp.asarray(b))
-    return jnp.einsum("ij...,j...->i...", A, b)
+    """(3,3,...) @ (3[,...]) as broadcast-multiply-reduce."""
+    if isinstance(b, (np.ndarray, list, tuple)):
+        # Static 3-vector: reshape for broadcast against A's trailing dims.
+        bb = np.asarray(b).reshape((1, 3) + (1,) * (jnp.ndim(A) - 2))
+        return jnp.sum(A * bb, axis=1)
+    return jnp.sum(A * b[None], axis=1)
 
 
 def _cross3(a: Array, b: Array) -> Array:
@@ -83,12 +96,16 @@ def make_serial_arm(name: str, links: List[LinkSpec],
                     g: float = 9.81, gravity_dir=( 0.0, 0.0, -1.0),
                     joint_damping: float = 0.0) -> Dynamics:
     n = len(links)
-    axes = jnp.array([l.axis for l in links])
-    offsets = jnp.array([l.offset for l in links])
-    coms = jnp.array([l.com for l in links])
-    masses = jnp.array([l.mass for l in links])
-    inertias = jnp.array([l.inertia for l in links])
-    gvec = g * jnp.array(gravity_dir)
+    # Static chain constants stay numpy: they fold at trace time (no traced
+    # 3-vector constants / tiny matmuls in the graph), which both shrinks
+    # the XLA program and lets the whole dynamics trace inside a Pallas
+    # kernel (solver/fused.py).
+    axes = np.array([l.axis for l in links], dtype=np.float64)
+    offsets = np.array([l.offset for l in links], dtype=np.float64)
+    coms = np.array([l.com for l in links], dtype=np.float64)
+    masses = np.array([l.mass for l in links], dtype=np.float64)
+    inertias = np.array([l.inertia for l in links], dtype=np.float64)
+    gvec = g * np.array(gravity_dir, dtype=np.float64)
 
     def fk_full(q: Array):
         """World-frame chain quantities (python loop unrolled at trace time):
@@ -146,8 +163,8 @@ def make_serial_arm(name: str, links: List[LinkSpec],
             IwJw = [_mv3(Iw, Jw[k]) for k in range(n)]
             for a in range(n):
                 if with_g:
-                    G[a] = G[a] - masses_[i] * jnp.einsum("i...,i->...",
-                                                          Jv[a], gvec_)
+                    gv = np.asarray(gvec_).reshape((3,) + (1,) * len(S))
+                    G[a] = G[a] - masses_[i] * jnp.sum(Jv[a] * gv, axis=0)
                 for b in range(a, n):
                     contrib = (masses_[i] * jnp.sum(Jv[a] * Jv[b], axis=0)
                                + jnp.sum(Jw[a] * IwJw[b], axis=0))
@@ -259,12 +276,142 @@ def make_serial_arm(name: str, links: List[LinkSpec],
         qdd = spd_solve_lanes(M, u - h - joint_damping * qd)
         return jnp.concatenate([qd, qdd], axis=0)
 
+    # ---- element-style dynamics (lists of per-instance scalars) ----------
+    # Same math as f() but with every chain constant a python float folded
+    # at trace time (ops/elem.py): rotation-matrix zeros, axis components,
+    # zero base velocities all vanish from the graph.  This is the form the
+    # fused Pallas SQP kernel traces in-kernel (solver/fused.py) — numpy
+    # array constants cannot be captured by a kernel, and the folding makes
+    # the in-kernel dynamics substantially cheaper.  Pinned against f() in
+    # tests/test_dynamics.py.
+    from ..ops import elem as el
+
+    _axes_f = [[float(v) for v in a] for a in axes]
+    _offs_f = [[float(v) for v in a] for a in offsets]
+    _coms_f = [[float(v) for v in a] for a in coms]
+    _mass_f = [float(v) for v in masses]
+    _inrt_f = [[float(v) for v in a] for a in inertias]
+    _mg_f = [float(v) for v in (-gvec)]
+
+    def _rot_e(axis, angle):
+        kx, ky, kz = axis
+        K = np.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]])
+        KK = K @ K
+        s, c = jnp.sin(angle), jnp.cos(angle)
+        omc = 1.0 - c
+        return [[el.eadd(1.0 if i == j else 0.0,
+                         el.eadd(el.emul(s, float(K[i][j])),
+                                 el.emul(omc, float(KK[i][j]))))
+                 for j in range(3)] for i in range(3)]
+
+    def _fk_e(q):
+        R = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        p = [0.0, 0.0, 0.0]
+        os_, zs, cs, Rs = [], [], [], []
+        for i in range(n):
+            p = [el.eadd(p[r], el.edot(R[r], _offs_f[i])) for r in range(3)]
+            z = [el.edot(R[r], _axes_f[i]) for r in range(3)]
+            R = el.mm(R, _rot_e(_axes_f[i], q[i]))
+            os_.append(p)
+            zs.append(z)
+            cs.append([el.eadd(p[r], el.edot(R[r], _coms_f[i]))
+                       for r in range(3)])
+            Rs.append(R)
+        return os_, zs, cs, Rs
+
+    def _iw_e(R, i):
+        """World-frame link inertia R diag(I) R' as elements."""
+        return [[el.edot([el.emul(R[r][k], _inrt_f[i][k]) for k in range(3)],
+                         [R[c][k] for k in range(3)])
+                 for c in range(3)] for r in range(3)]
+
+    def _mass_e(q):
+        o, z, c, R = _fk_e(q)
+        M = [[0.0] * n for _ in range(n)]
+        zero3 = [0.0, 0.0, 0.0]
+        for i in range(n):
+            Jv = [(el.cross3(z[j], [el.esub(c[i][r], o[j][r])
+                                    for r in range(3)])
+                   if j <= i else zero3) for j in range(n)]
+            Jw = [(z[j] if j <= i else zero3) for j in range(n)]
+            Iw = _iw_e(R[i], i)
+            IwJw = [el.mv(Iw, Jw[k]) for k in range(n)]
+            for a in range(n):
+                for b in range(a, n):
+                    contrib = el.eadd(
+                        el.emul(_mass_f[i], el.edot(Jv[a], Jv[b])),
+                        el.edot(Jw[a], IwJw[b]))
+                    M[a][b] = el.eadd(M[a][b], contrib)
+        for a in range(n):
+            for b in range(a):
+                M[a][b] = M[b][a]
+        return M
+
+    def _bias_e(q, qd):
+        o, z, c, R = _fk_e(q)
+        zero3 = [0.0, 0.0, 0.0]
+        w_prev, al_prev = zero3, zero3
+        a_prev = list(_mg_f)
+        o_prev = zero3
+        ws, als, acs = [], [], []
+        for i in range(n):
+            d = [el.esub(o[i][r], o_prev[r]) for r in range(3)]
+            a_oi = [el.eadd(a_prev[r],
+                            el.eadd(el.cross3(al_prev, d)[r],
+                                    el.cross3(w_prev,
+                                              el.cross3(w_prev, d))[r]))
+                    for r in range(3)]
+            zqd = [el.emul(z[i][r], qd[i]) for r in range(3)]
+            w_i = [el.eadd(w_prev[r], zqd[r]) for r in range(3)]
+            al_i = [el.eadd(al_prev[r], el.cross3(w_prev, zqd)[r])
+                    for r in range(3)]
+            rc = [el.esub(c[i][r], o[i][r]) for r in range(3)]
+            a_ci = [el.eadd(a_oi[r],
+                            el.eadd(el.cross3(al_i, rc)[r],
+                                    el.cross3(w_i,
+                                              el.cross3(w_i, rc))[r]))
+                    for r in range(3)]
+            ws.append(w_i); als.append(al_i); acs.append(a_ci)
+            w_prev, al_prev, a_prev, o_prev = w_i, al_i, a_oi, o[i]
+
+        taus: list = [None] * n
+        f_child = zero3
+        n_child = zero3
+        o_child = o[n - 1]
+        for i in reversed(range(n)):
+            Iw = _iw_e(R[i], i)
+            F_i = [el.emul(_mass_f[i], acs[i][r]) for r in range(3)]
+            N_i = [el.eadd(el.mv(Iw, als[i])[r],
+                           el.cross3(ws[i], el.mv(Iw, ws[i]))[r])
+                   for r in range(3)]
+            moment_arm = [el.esub(c[i][r], o[i][r]) for r in range(3)]
+            child_arm = [el.esub(o_child[r], o[i][r]) for r in range(3)]
+            n_i = [el.eadd(el.eadd(N_i[r], el.cross3(moment_arm, F_i)[r]),
+                           el.eadd(n_child[r],
+                                   el.cross3(child_arm, f_child)[r]))
+                   for r in range(3)]
+            f_i = [el.eadd(F_i[r], f_child[r]) for r in range(3)]
+            taus[i] = el.edot(z[i], n_i)
+            f_child, n_child, o_child = f_i, n_i, o[i]
+        return taus
+
+    def f_elem(x, u):
+        """Element-style ``f``: x, u are lists of per-instance scalars."""
+        q, qd = x[:n], x[n:]
+        M = _mass_e(q)
+        h = _bias_e(q, qd)
+        rhs = [el.esub(el.esub(u[i], h[i]),
+                       el.emul(joint_damping, qd[i])) for i in range(n)]
+        qdd = el.spd_solve_vec(M, rhs)
+        return list(qd) + qdd
+
     dyn = Dynamics(name, nx=2 * n, nu=n, f=f, supports_lanes=True, nq=n)
     # Expose internals for tests and tooling (frozen dataclass -> object.__setattr__).
     object.__setattr__(dyn, "mass_matrix", mass_matrix)
     object.__setattr__(dyn, "bias", bias)
     object.__setattr__(dyn, "bias_lagrangian", bias_lagrangian)
     object.__setattr__(dyn, "fk", fk)
+    object.__setattr__(dyn, "f_elem", f_elem)
     return dyn
 
 

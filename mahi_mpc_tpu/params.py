@@ -188,6 +188,17 @@ class SolverOptions:
     # "dense" | "pariccati" (O(log N) associative scan) | "pallas" |
     # "time_shard" (after parallel.time_shard.enable_time_shard_backend).
     kkt_backend: str = "auto"
+    # Stage-Jacobian formulation for the lanes-batched linearizer
+    # (solver/batched.py _linearize_lanes): "fan" = unrolled JVP fan (nz
+    # forward directions), "rev" = second-order reverse rows (nq cotangent
+    # pulls; requires Euler + Dynamics.nq), "auto" = fan.  Measured on TPU
+    # v5e (benchmarks/results_lin_modes_*.json): rev is 1-4% faster per
+    # warm round but costs a ~10x longer cold compile (763 s vs 88 s
+    # through the remote-compile tunnel), so the default favors fan; opt
+    # into rev for long-running steady-state services whose compile is
+    # cached.  (Round-3 VERDICT item 7: this replaces the trace-time
+    # MAHI_MPC_LINEARIZE env var.)
+    linearize_mode: str = "auto"
     dtype: str = "float32"
     # Warm re-solves restart the barrier at factor*tol (clamped to the
     # mu >= max(mu_min, 0.1*tol) floor).  0.1 starts warm solves AT the

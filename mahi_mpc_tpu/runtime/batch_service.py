@@ -82,6 +82,13 @@ class BatchModelControl:
                     p_b, X, U)
 
         self._step = jax.jit(step_fn, donate_argnums=(1, 2))
+        # LTV relinearization must be jitted: an eager vmap(jacfwd) per
+        # step() dispatches hundreds of tiny ops through the remote tunnel
+        # and measured 9,833 ms vs 28.5 ms for the whole warm batch-256
+        # round (docs/PERFORMANCE.md §7; round-3 VERDICT item 2 — the fix
+        # had landed in the bench harness but not the production service).
+        self._relin = jax.jit(jax.vmap(dynamics.linearize)) \
+            if params.is_linear else None
         self.last = None          # last SolveResult
         self.solve_time_s = 0.0
 
@@ -107,7 +114,7 @@ class BatchModelControl:
             return
         from ..transcribe.shooting import LinPoint
         p = self._p
-        A, B, xd0 = jax.vmap(self.dynamics.linearize)(p.x0, p.u_prev)
+        A, B, xd0 = self._relin(p.x0, p.u_prev)
         self._p = p._replace(lin=LinPoint(A, B, xd0, p.x0, p.u_prev))
 
     def update_weights(self, Q=None, R=None, Rm=None):

@@ -165,8 +165,6 @@ class ModelControl:
         mp = self.params
         art = Path(mp.dll_filepath) if mp.dll_filepath else (
             directory / f"{mp.name}{ARTIFACT_SUFFIX}")
-        lin_art = art.with_name(art.name.replace(ARTIFACT_SUFFIX, LINEAR_SUFFIX)) \
-            if art.suffix else None
         self.problem: Optional[ShootingProblem] = None
         self.dynamics = dynamics
 

@@ -116,7 +116,8 @@ def _defects_lanes(prob: ShootingProblem, X: Array, U: Array) -> Array:
     return xn.T.reshape(B, N, nx) - X[:, 1:]
 
 
-def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array):
+def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array,
+                     mode: str = "auto"):
     """Stage Jacobians for the whole batch with node x batch in lanes:
     returns A (B, N, nx, nx), Bm (B, N, nx, nu), c (B, N, nx).
 
@@ -147,9 +148,10 @@ def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array):
     the gap compresses to a few percent, measured same-process interleaved
     (``bench_lin_modes.py``; benchmarks/results_lin_modes_{1024,4096}.json):
     rev 178.7 ms vs fan 185.2 ms per warm round at B=1024, 722 vs 729 at
-    4096 — rev is the default; its one tradeoff is a ~10x longer cold
-    compile (763 s vs 88 s through the remote-compile tunnel, paid once
-    per shape thanks to the persistent cache).  docs/PERFORMANCE.md §6.
+    4096 — but rev costs a ~10x longer cold compile (763 s vs 88 s through
+    the remote-compile tunnel), so ``SolverOptions.linearize_mode`` defaults
+    to the fan and rev is the opt-in for cache-warm steady-state services.
+    docs/PERFORMANCE.md §6.
     """
     B, Np1, nx = X.shape
     N = Np1 - 1
@@ -160,15 +162,22 @@ def _linearize_lanes(prob: ShootingProblem, X: Array, U: Array):
                          U.reshape(B * N, nu).T], axis=0)  # (nz, M)
     M = W.shape[-1]
 
-    # Debug/measurement knob (benchmarks/bench_lin_modes.py): "rev" forces
-    # the second-order reverse path, "fan" the unrolled JVP fan, "auto"
-    # (default) picks rev when eligible.  Read at trace time.
-    import os
-    mode = os.environ.get("MAHI_MPC_LINEARIZE", "auto")
-
+    # Formulation policy lives in SolverOptions.linearize_mode (round-3
+    # VERDICT item 7 / ADVICE: the former MAHI_MPC_LINEARIZE env var was
+    # read at trace time, unvalidated, and silently baked into jitted/AOT
+    # programs).  "auto" resolves to the fan: rev's 1-4% warm win costs a
+    # ~10x cold compile (763 s vs 88 s; results_lin_modes_*.json).
+    if mode not in ("auto", "rev", "fan"):
+        raise ValueError(
+            f"unknown linearize_mode {mode!r}; choose 'auto', 'rev' or "
+            "'fan'")
     nq = prob.dynamics.nq
-    if (mode != "fan" and nq is not None and 2 * nq == nx
-            and prob.integrator == "euler"):
+    rev_ok = (nq is not None and 2 * nq == nx and prob.integrator == "euler")
+    if mode == "rev" and not rev_ok:
+        raise ValueError(
+            "linearize_mode='rev' needs a second-order model (Dynamics.nq "
+            "set, nx == 2*nq) and the Euler integrator")
+    if mode == "rev" and rev_ok:
         def fw(w):
             return prob.dynamics.f(w[:nx], w[nx:])        # (nx, M)
 
@@ -305,7 +314,9 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
 
     def body(s: _LoopState) -> _LoopState:
         lin = (_linearize_ltv(prob, s.X, s.U, p, ltv=ltv_mats)
-               if prob.is_linear else _linearize_lanes(prob, s.X, s.U))
+               if prob.is_linear
+               else _linearize_lanes(prob, s.X, s.U,
+                                     mode=opts.linearize_mode))
         qp = jax.vmap(
             lambda X_, U_, p_, mu_, reg_, A_, B_, c_: build_stage_qp(
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
@@ -412,19 +423,22 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
         feas=jnp.full((B,), jnp.inf, dtype))
 
     final = jax.lax.while_loop(cond, body, init)
-    obj = _cost_batch_reference(prob, final.X, final.U, p)
+    obj = _cost_batch_reference(prob, final.X, final.U, p, ltv=ltv_mats)
     return SolveResult(X=final.X, U=final.U, iters=final.it,
                        status=final.status, kkt=final.kkt, feas=final.feas,
                        obj=obj)
 
 
-def _cost_batch_reference(prob, X, U, p):
-    """Reference-form objective per instance (tracking on F(x_k,u_k))."""
+def _cost_batch_reference(prob, X, U, p, ltv=None):
+    """Reference-form objective per instance (tracking on F(x_k,u_k)).
+    ``ltv``: the hoisted discrete affine step for LTV mode — passing it
+    avoids re-tracing ``_ltv_discrete`` (a vmapped jacfwd) a second time
+    per compiled solve (round-3 ADVICE)."""
     B, Np1, nx = X.shape
     N = Np1 - 1
     nu = U.shape[-1]
     if prob.is_linear:
-        xn = _defects_ltv(prob, X, U, p) + X[:, 1:]
+        xn = _defects_ltv(prob, X, U, p, ltv=ltv) + X[:, 1:]
     else:
         xs = X[:, :-1].reshape(B * N, nx).T
         us = U.reshape(B * N, nu).T

@@ -1,0 +1,709 @@
+"""Fused SQP-iteration Pallas kernel: the whole warm solve in one launch.
+
+Round-3 profiling (docs/PERFORMANCE.md §6) showed a batched SQP iteration is
+not bound by any single stage but by *how* the stages execute: ~45 ms of the
+~60 ms in-program iteration at batch 1024 is VPU-issue-bound elementwise work
+on poorly occupied tiles, spread over hundreds of XLA fusions that each
+round-trip HBM.  This module fuses linearize + QP build + Riccati + line
+search — the entire fixed-iteration warm solve — into ONE Pallas kernel:
+
+- **Layout**: a tile is ``sub x lanes`` (default 8 x 128 = 1024) instances
+  occupying the two trailing (tiled) dims, so every per-instance scalar of
+  the algorithm is one fully-occupied ``(8, 128)`` vreg, and every small-
+  matrix element is its own vreg.  Small-matrix products unroll at trace
+  time into elementwise FMAs with *structural* zeros folded in Python
+  (``_mul``/``_add`` fold float literals), not left to compiler algebra.
+- **Residency**: the iterate (X, U), feedback gains, step directions and
+  stage gradients live in VMEM scratch for the whole solve; the only HBM
+  traffic is one read of the warm start + parameters and one write of the
+  solution (~3 MB per 1024-instance tile).
+- **Dynamics in-kernel**: the rigid-body models are shape-polymorphic with
+  trailing batch (``models/arm.py``), so the *same* dynamics code traces
+  inside the kernel with ``(sub, lanes)`` trailing dims; stage Jacobians
+  come from ``jax.vjp`` traced in-kernel (a vmapped cotangent pull — inside
+  a kernel there is no XLA zero-folding to lose, and batching the ``nq``
+  pulls into one pass quarters the instruction count).
+- **Stage streaming**: the round-3 negative result (kernel v2,
+  docs/PERFORMANCE.md §1) fixed this design's constraints: the grid walks
+  batch tiles, the backward recursion carries (P, p) in registers, and
+  per-stage Jacobians are (re)computed on the fly rather than stored —
+  the ~50 MiB/tile all-horizon layout that killed v2 never exists.
+
+Semantics: ``solve_batch_fused`` runs exactly ``n_iter`` SQP iterations
+(the latency/throughput shape of ``solver/fixed.py``), with the same QP,
+barrier, fraction-to-boundary, l1-merit Armijo line search and convergence
+predicates as ``solve_batch_lanes`` (solver/loop_common.py), at fixed
+barrier ``mu`` (the warm regime starts at the mu floor already —
+``SolverOptions.warm_mu_factor``).  One documented deviation: the l1
+penalty weight uses the value-function gradient bound ``max_k |p_k|``
+(available during the backward sweep) instead of the multiplier recursion
+``max_k |lam_k|``; at a solution the two coincide (``lam_k = P_k dz_k +
+p_k`` with ``dz -> 0``), and the weight only gates line-search acceptance.
+
+Replaces: IPOPT+MUMPS warm re-solves of the reference
+(``ModelControl.cpp:159``, warm start ``:161``) for the batched
+receding-horizon service; cold starts and adaptive iteration stay on
+``solve_batch_lanes``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.integrators import make_step
+from ..params import SolverOptions
+from ..transcribe.shooting import MPCParams, ShootingProblem
+from .sqp import CONVERGED, DIVERGED, MAX_ITER, SolveResult
+from . import loop_common as lc
+
+Array = jnp.ndarray
+
+SUB, LANES = 8, 128    # default tile: 1024 instances per grid step
+
+
+# ---------------------------------------------------------------------------
+# Element algebra lives in ops/elem.py (shared with the element-style
+# dynamics in models/arm.py); local aliases keep the kernel body readable.
+# ---------------------------------------------------------------------------
+
+from ..ops.elem import (eadd as _add, esub as _sub, emul as _mul,
+                        edot as _dot, mm as _mm, mtm as _mtm, mv as _emv,
+                        madd as _madd, msym as _msym, chol as _chol,
+                        cho_solve_rows as _cho_solve_rows,
+                        cho_solve_vec as _cho_solve_vec)
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
+                 ls_fan: Sequence[float], tile: Tuple[int, int]):
+    nx, nu, N = prob.nx, prob.nu, prob.N
+    nz = nx + nu
+    nq = prob.dynamics.nq
+    fast2 = (nq is not None and 2 * nq == nx and prob.integrator == "euler")
+    dt = float(prob.dt)
+    # Element-style dynamics when the model provides it (models/arm.py):
+    # all chain constants are python floats folded at trace time — a Pallas
+    # kernel cannot capture numpy array constants, and the folding shrinks
+    # the in-kernel graph.  Models without f_elem must avoid array
+    # constants in f (scalar closed forms qualify).
+    f_elem = getattr(prob.dynamics, "f_elem", None)
+    if f_elem is not None:
+        def f_dyn(xa, ua):
+            out = f_elem([xa[i] for i in range(xa.shape[0])],
+                         [ua[i] for i in range(ua.shape[0])])
+            return jnp.stack(out, 0)
+    else:
+        f_dyn = prob.dynamics.f
+    step_fn = make_step(f_dyn, dt, prob.integrator)
+    sub, lanes = tile
+    S = (sub, lanes)
+    reg = 1e-8          # warm solves sit at the Levenberg floor
+    tau = lc.FTB_TAU
+    fan = tuple(float(a) for a in ls_fan)
+    T = len(fan)
+
+    def kernel(X0_r, U0_r, xdes_r, q_r, r_r, rm_r, uprev_r,
+               umin_r, umax_r, xmin_r, xmax_r, qf_r, xfdes_r, mu_r,
+               X_r, U_r, stats_r,
+               K_s, kff_s, dX_s, dU_s, G_s):
+        dtype = X0_r.dtype
+
+        def v(e):
+            """Materialize an element as a vreg."""
+            return jnp.full(S, e, dtype) if isinstance(e, (int, float)) else e
+
+        def rd(ref, k, n):
+            a = ref[pl.ds(k, 1)][0]
+            return [a[i] for i in range(n)]
+
+        def wr(ref, k, vec):
+            ref[pl.ds(k, 1)] = jnp.stack([v(e) for e in vec], 0)[None]
+
+        def rd_static(ref, n):
+            return [ref[i] for i in range(n)]
+
+        # ---- per-instance parameters (live in vregs for the whole solve)
+        q_w = rd_static(q_r, nx)
+        r_w = rd_static(r_r, nu)
+        rm_w = rd_static(rm_r, nu)
+        q2 = [2.0 * e for e in q_w]
+        r2 = [2.0 * e for e in r_w]
+        rm2 = [2.0 * e for e in rm_w]
+        qf_w = rd_static(qf_r, nx)
+        qf2 = [2.0 * e for e in qf_w]
+        xfdes = rd_static(xfdes_r, nx)
+        uprev = rd_static(uprev_r, nu)
+        umin = rd_static(umin_r, nu)
+        umax = rd_static(umax_r, nu)
+        xmin = rd_static(xmin_r, nx)
+        xmax = rd_static(xmax_r, nx)
+        mu = mu_r[0]
+        ulo_fin = [jnp.isfinite(e) for e in umin]
+        uhi_fin = [jnp.isfinite(e) for e in umax]
+        xlo_fin = [jnp.isfinite(e) for e in xmin]
+        xhi_fin = [jnp.isfinite(e) for e in xmax]
+
+        def bar_terms(vs, los, his, lo_fin, hi_fin):
+            """Per-component barrier gradient/Hessian-diagonal
+            (stage_qp.barrier_terms, elementwise)."""
+            g, h = [], []
+            for vv, lo, hi, lf, hf in zip(vs, los, his, lo_fin, hi_fin):
+                slo = jnp.where(lf, vv - lo, 1.0)
+                shi = jnp.where(hf, hi - vv, 1.0)
+                g.append(jnp.where(lf, -mu / slo, 0.0)
+                         + jnp.where(hf, mu / shi, 0.0))
+                h.append(jnp.where(lf, mu / (slo * slo), 0.0)
+                         + jnp.where(hf, mu / (shi * shi), 0.0))
+            return g, h
+
+        def bar_value(vs, los, his, lo_fin, hi_fin):
+            acc = 0.0
+            for vv, lo, hi, lf, hf in zip(vs, los, his, lo_fin, hi_fin):
+                slo = jnp.where(lf, jnp.maximum(vv - lo, 1e-30), 1.0)
+                shi = jnp.where(hf, jnp.maximum(hi - vv, 1e-30), 1.0)
+                acc = _add(acc, -mu * (jnp.where(lf, jnp.log(slo), 0.0)
+                                       + jnp.where(hf, jnp.log(shi), 0.0)))
+            return acc
+
+        def ftb(vs, dvs, los, his, lo_fin, hi_fin, amax):
+            """Fraction-to-boundary (stage_qp.fraction_to_boundary)."""
+            for vv, dv, lo, hi, lf, hf in zip(vs, dvs, los, his,
+                                              lo_fin, hi_fin):
+                dv = v(dv)
+                neg = dv < 0
+                pos = dv > 0
+                a_lo = jnp.where(lf & neg,
+                                 -tau * (vv - lo) / jnp.where(neg, dv, -1.0),
+                                 1.0)
+                a_hi = jnp.where(hf & pos,
+                                 tau * (hi - vv) / jnp.where(pos, dv, 1.0),
+                                 1.0)
+                amax = jnp.minimum(amax, jnp.minimum(a_lo, a_hi))
+            return amax
+
+        def pack(vec):
+            return jnp.stack([v(e) for e in vec], 0)
+
+        def linearize(xl, ul, xn1):
+            """Stage Jacobians of the discrete step + defect + step value.
+
+            Fast path (second-order structure + Euler, cf.
+            solver/batched.py _linearize_lanes): only the nq acceleration
+            rows need AD — one shared vjp, nq cotangent pulls batched with
+            vmap (in-kernel there is no XLA constant-folding to lose by
+            batching, and one 4-wide pull is 4x fewer instructions than
+            four unrolled ones).  Generic path: nx pulls through the full
+            integrator step."""
+            xa, ua = pack(xl), pack(ul)
+            if fast2:
+                fval, pull = jax.vjp(f_dyn, xa, ua)
+                # One-hot cotangents built from iota (a materialized numpy
+                # one-hot would be a captured array constant, which Pallas
+                # rejects).
+                ii = jax.lax.broadcasted_iota(jnp.int32, (nq, nx) + S, 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (nq, nx) + S, 1)
+                cots_b = (jj == ii + nq).astype(dtype)
+                Jx, Ju = jax.vmap(pull)(cots_b)     # (nq,nx,S), (nq,nu,S)
+                A = [[(1.0 if j == i else 0.0) + (dt if j == i + nq else 0.0)
+                      if i < nq else 0.0 for j in range(nx)]
+                     for i in range(nx)]
+                Bm = [[0.0] * nu for _ in range(nx)]
+                for i in range(nq):
+                    for j in range(nx):
+                        A[nq + i][j] = _add(1.0 if j == nq + i else 0.0,
+                                            dt * Jx[i, j])
+                    for j in range(nu):
+                        Bm[nq + i][j] = dt * Ju[i, j]
+                val = [_add(xl[i], dt * fval[i]) for i in range(nx)]
+            else:
+                val_a, pull = jax.vjp(step_fn, xa, ua)
+                ii = jax.lax.broadcasted_iota(jnp.int32, (nx, nx) + S, 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (nx, nx) + S, 1)
+                cots_b = (jj == ii).astype(dtype)
+                Jx, Ju = jax.vmap(pull)(cots_b)
+                A = [[Jx[i, j] for j in range(nx)] for i in range(nx)]
+                Bm = [[Ju[i, j] for j in range(nu)] for i in range(nx)]
+                val = [val_a[i] for i in range(nx)]
+            ck = [_sub(val[i], xn1[i]) for i in range(nx)]
+            return A, Bm, ck, val
+
+        def stage_grads(k, xl, ul, ukm1, xdes_prev):
+            """QP gradient/diagonal pieces at stage k (stage_qp.build_stage_qp
+            in block form).  Returns (gzx, gzv, gu, Dx, Du, du, e, tk)."""
+            tk = k >= 1
+            e = [_sub(xl[i], xdes_prev[i]) for i in range(nx)]
+            du = [_sub(ul[a], ukm1[a]) for a in range(nu)]
+            gx_b, hx_b = bar_terms(xl, xmin, xmax, xlo_fin, xhi_fin)
+            gu_b, hu_b = bar_terms(ul, umin, umax, ulo_fin, uhi_fin)
+            gzx = [jnp.where(tk, _add(_mul(q2[i], e[i]), gx_b[i]), 0.0)
+                   for i in range(nx)]
+            gzv = [-_mul(r2[a], du[a]) for a in range(nu)]
+            gu = [_add(_add(_mul(r2[a], du[a]), _mul(rm2[a], ul[a])),
+                       gu_b[a]) for a in range(nu)]
+            Dx = [jnp.where(tk, _add(q2[i], hx_b[i]), 0.0) for i in range(nx)]
+            Du = [_add(_add(r2[a], rm2[a]), _add(hu_b[a], reg))
+                  for a in range(nu)]
+            return gzx, gzv, gu, Dx, Du, du, e, tk
+
+        def stage_cost(xl, ul, du, e, tk):
+            """Separable stage cost + barriers (merit smooth part) and the
+            shared rate/magnitude terms."""
+            c = 0.0
+            for i in range(nx):
+                c = _add(c, jnp.where(tk, _mul(q_w[i], _mul(e[i], e[i])),
+                                      0.0))
+            rate_mag = 0.0
+            for a in range(nu):
+                rate_mag = _add(rate_mag, _mul(r_w[a], _mul(du[a], du[a])))
+                rate_mag = _add(rate_mag, _mul(rm_w[a], _mul(ul[a], ul[a])))
+            bx = bar_value(xl, xmin, xmax, xlo_fin, xhi_fin)
+            c = _add(c, jnp.where(tk, v(bx), 0.0))
+            c = _add(c, bar_value(ul, umin, umax, ulo_fin, uhi_fin))
+            return _add(c, rate_mag), rate_mag
+
+        # ---- warm start into the working (output) buffers
+        X_r[...] = X0_r[...]
+        U_r[...] = U0_r[...]
+
+        zero = jnp.zeros(S, dtype)
+        tol = jnp.asarray(opts.tol, dtype)
+
+        def read_u_prev_of(k):
+            """u_{k-1} with u_{-1} = u_prev."""
+            ukm1 = rd(U_r, jnp.maximum(k - 1, 0), nu)
+            return [jnp.where(k == 0, uprev[a], ukm1[a]) for a in range(nu)]
+
+        def terminal_pieces():
+            xN = rd(X_r, N, nx)
+            xdesN = rd(xdes_r, N - 1, nx)
+            eN = [_sub(xN[i], xdesN[i]) for i in range(nx)]
+            eF = [_sub(xN[i], xfdes[i]) for i in range(nx)]
+            gN_b, hN_b = bar_terms(xN, xmin, xmax, xlo_fin, xhi_fin)
+            return xN, eN, eF, gN_b, hN_b
+
+        def iter_body(_it, carry):
+            nu_pen, _step, _feas, _jref, _alpha = carry
+
+            # ================= backward sweep =================
+            xN, eN, eF, gN_b, hN_b = terminal_pieces()
+            Pxx = [[v(0.0) for _ in range(nx)] for _ in range(nx)]
+            for i in range(nx):
+                Pxx[i][i] = _add(_add(q2[i], qf2[i]), hN_b[i])
+            Pxv = [[v(0.0) for _ in range(nu)] for _ in range(nx)]
+            Pvv = [[v(0.0) for _ in range(nu)] for _ in range(nu)]
+            px = [v(_add(_add(_mul(q2[i], eN[i]), _mul(qf2[i], eF[i])),
+                         gN_b[i])) for i in range(nx)]
+            pv = [v(0.0) for _ in range(nu)]
+            gf = list(px)   # value gradient at dz_N = terminal cost gradient
+            wr(G_s, N, gf + [0.0] * (2 * nu))
+
+            cost0 = v(bar_value(xN, xmin, xmax, xlo_fin, xhi_fin))
+            for i in range(nx):
+                cost0 = _add(cost0, _mul(q_w[i], _mul(eN[i], eN[i])))
+                cost0 = _add(cost0, _mul(qf_w[i], _mul(eF[i], eF[i])))
+            jref = v(0.0)
+            for i in range(nx):
+                jref = _add(jref, _mul(qf_w[i], _mul(eF[i], eF[i])))
+            pmax = zero
+            for e in px:
+                pmax = jnp.maximum(pmax, jnp.abs(e))
+
+            def bwd(i, c):
+                (Pxx, Pxv, Pvv, px, pv, feas, c_l1, cost0, jref, pmax) = c
+                k = N - 1 - i
+                xl = rd(X_r, k, nx)
+                ul = rd(U_r, k, nu)
+                xn1 = rd(X_r, k + 1, nx)
+                ukm1 = read_u_prev_of(k)
+                xdes_prev = rd(xdes_r, jnp.maximum(k - 1, 0), nx)
+                xdes_k = rd(xdes_r, k, nx)
+
+                A, Bm, ck, val = linearize(xl, ul, xn1)
+                gzx, gzv, gu, Dx, Du, du, e, tk = stage_grads(
+                    k, xl, ul, ukm1, xdes_prev)
+                wr(G_s, k, gzx + gzv + gu)
+
+                # m0 / feasibility accumulators
+                for cc in ck:
+                    feas = jnp.maximum(feas, jnp.abs(v(cc)))
+                    c_l1 = _add(c_l1, jnp.abs(v(cc)))
+                sc, _rm = stage_cost(xl, ul, du, e, tk)
+                cost0 = _add(cost0, sc)
+                jr = v(_rm)
+                for i_ in range(nx):
+                    er = _sub(val[i_], xdes_k[i_])
+                    jr = _add(jr, _mul(q_w[i_], _mul(er, er)))
+                jref = _add(jref, jr)
+
+                # ---- block Riccati step (Az = [[A,0],[0,0]], Bz = [[B],[I]],
+                # Hzu = [[0],[-2R]], Hzz = diag[Dx, 2R]; see derivation in
+                # docstring of solve_batch_fused)
+                Prp_x = [_add(px[i_], _dot(Pxx[i_], ck)) for i_ in range(nx)]
+                Prp_v = [_add(pv[a], _dot([Pxv[t][a] for t in range(nx)], ck))
+                         for a in range(nu)]
+                PxxB = _mm(Pxx, Bm)                       # (nx, nu)
+                M1 = _madd(PxxB, Pxv)                     # Pxx B + Pxv
+                PxxA = _mm(Pxx, A)
+                Qxx = _mtm(A, PxxA)                       # A' Pxx A
+                for i_ in range(nx):
+                    Qxx[i_][i_] = _add(Qxx[i_][i_], Dx[i_])
+                Qxu = _mtm(A, M1)                         # (nx, nu)
+                BtPxxB = _mtm(Bm, PxxB)
+                BtPxv = _mtm(Bm, Pxv)                     # (nu, nu)
+                Quu = [[_add(_add(BtPxxB[a][b],
+                                  _add(BtPxv[a][b], BtPxv[b][a])),
+                             Pvv[a][b]) for b in range(nu)]
+                       for a in range(nu)]
+                for a in range(nu):
+                    Quu[a][a] = _add(Quu[a][a], Du[a])
+                qz_x = [_add(gzx[i_], _dot([A[t][i_] for t in range(nx)],
+                                           Prp_x)) for i_ in range(nx)]
+                qu = [_add(gu[a], _add(_dot([Bm[t][a] for t in range(nx)],
+                                            Prp_x), Prp_v[a]))
+                      for a in range(nu)]
+
+                Lc = _chol(Quu)
+                # K = -Quu^{-1} Qzu' with Qzu = [Qxu ; -diag(2R)]
+                QxuT = [[Qxu[i_][a] for i_ in range(nx)] for a in range(nu)]
+                Kx = _cho_solve_rows(Lc, [[-e_ for e_ in row]
+                                          for row in QxuT])
+                d2r = [[r2[a] if a == b else 0.0 for b in range(nu)]
+                       for a in range(nu)]
+                Kv = _cho_solve_rows(Lc, d2r)             # +Quu^{-1} diag(2R)
+                kff = _cho_solve_vec(Lc, [-e_ for e_ in qu])
+
+                Pxx_n = _msym(_madd(Qxx, _mm(Qxu, Kx)))
+                QxuKv = _mm(Qxu, Kv)
+                Pxv_n = [[_mul(0.5, _add(QxuKv[i_][a],
+                                         -_mul(r2[a], Kx[a][i_])))
+                          for a in range(nu)] for i_ in range(nx)]
+                Pvv_n = [[None] * nu for _ in range(nu)]
+                for a in range(nu):
+                    for b in range(nu):
+                        Pvv_n[a][b] = _mul(-0.5, _add(_mul(r2[a], Kv[a][b]),
+                                                      _mul(r2[b], Kv[b][a])))
+                    Pvv_n[a][a] = _add(Pvv_n[a][a], r2[a])
+                px_n = [_add(qz_x[i_], _dot(Qxu[i_], kff))
+                        for i_ in range(nx)]
+                pv_n = [_sub(gzv[a], _mul(r2[a], kff[a])) for a in range(nu)]
+
+                wr(kff_s, k, kff)
+                Krows = [[v(_e) for _e in (Kx[a] + Kv[a])] for a in range(nu)]
+                K_s[pl.ds(k, 1)] = jnp.stack(
+                    [jnp.stack(row, 0) for row in Krows], 0)[None]
+
+                for e_ in px_n:
+                    pmax = jnp.maximum(pmax, jnp.abs(v(e_)))
+                for e_ in pv_n:
+                    pmax = jnp.maximum(pmax, jnp.abs(v(e_)))
+
+                Pxx_n = [[v(e_) for e_ in row] for row in Pxx_n]
+                Pxv_n = [[v(e_) for e_ in row] for row in Pxv_n]
+                Pvv_n = [[v(e_) for e_ in row] for row in Pvv_n]
+                px_n = [v(e_) for e_ in px_n]
+                pv_n = [v(e_) for e_ in pv_n]
+                return (Pxx_n, Pxv_n, Pvv_n, px_n, pv_n, feas, c_l1, cost0,
+                        jref, pmax)
+
+            (Pxx, Pxv, Pvv, px, pv, feas, c_l1, cost0, jref_old, pmax) = (
+                jax.lax.fori_loop(
+                    0, N, bwd,
+                    (Pxx, Pxv, Pvv, px, pv, zero, zero, cost0, jref, pmax)))
+
+            nu_pen = jnp.maximum(nu_pen, 2.0 * pmax + 1.0)
+            m0 = _add(cost0, nu_pen * c_l1)
+
+            # ================= forward rollout =================
+            dX_s[pl.ds(0, 1)] = jnp.zeros((1, nx) + S, dtype)
+
+            def fwd(k, c):
+                dx, dv, amax, ddir, stepn = c
+                Kblk = K_s[pl.ds(k, 1)][0]               # (nu, nz, S)
+                kffl = rd(kff_s, k, nu)
+                dzl = dx + dv
+                du = [_add(_dot([Kblk[a, j] for j in range(nz)], dzl),
+                           kffl[a]) for a in range(nu)]
+                G = G_s[pl.ds(k, 1)][0]                  # (nx+2nu, S)
+                for i in range(nx):
+                    ddir = _add(ddir, _mul(G[i], dx[i]))
+                for a in range(nu):
+                    ddir = _add(ddir, _mul(G[nx + a], dv[a]))
+                    ddir = _add(ddir, _mul(G[nx + nu + a], du[a]))
+
+                xl = rd(X_r, k, nx)
+                ul = rd(U_r, k, nu)
+                xn1 = rd(X_r, k + 1, nx)
+                dua = pack(du)
+                dxa = pack(dx)
+                val, dval = jax.jvp(step_fn, (pack(xl), pack(ul)),
+                                    (dxa, dua))
+                dx_n = [val[i] + dval[i] - xn1[i] for i in range(nx)]
+
+                amax = ftb(ul, du, umin, umax, ulo_fin, uhi_fin, amax)
+                amax = ftb(xn1, dx_n, xmin, xmax, xlo_fin, xhi_fin, amax)
+                for e_ in du:
+                    stepn = jnp.maximum(stepn, jnp.abs(v(e_)))
+                for e_ in dx_n:
+                    stepn = jnp.maximum(stepn, jnp.abs(e_))
+
+                wr(dU_s, k, du)
+                wr(dX_s, k + 1, dx_n)
+                return ([v(e_) for e_ in dx_n], [v(e_) for e_ in du],
+                        amax, v(ddir), stepn)
+
+            dxN, dvN, amax, ddir, stepn = jax.lax.fori_loop(
+                0, N, fwd,
+                ([zero] * nx, [zero] * nu, jnp.ones(S, dtype), zero, zero))
+            GN = G_s[pl.ds(N, 1)][0]
+            for i in range(nx):
+                ddir = _add(ddir, _mul(GN[i], dxN[i]))
+            ddir = _sub(ddir, nu_pen * c_l1)
+
+            # ================= line search (parallel fan) =================
+            alphas = [amax * f for f in fan]
+            eps_m = lc.armijo_eps(m0, dtype)
+
+            def trial(k, acc):
+                cost_t, cl1_t, jref_t = acc     # lists of T accumulators
+                xl = rd(X_r, k, nx)
+                ul = rd(U_r, k, nu)
+                xn1 = rd(X_r, k + 1, nx)
+                dxk = rd(dX_s, k, nx)
+                duk = rd(dU_s, k, nu)
+                dxk1 = rd(dX_s, k + 1, nx)
+                ukm1 = read_u_prev_of(k)
+                dukm1 = rd(dU_s, jnp.maximum(k - 1, 0), nu)
+                dukm1 = [jnp.where(k == 0, 0.0, e_) for e_ in dukm1]
+                xdes_prev = rd(xdes_r, jnp.maximum(k - 1, 0), nx)
+                tk = k >= 1
+                cost_o, cl1_o, jref_o = [], [], []
+                for j in range(T):
+                    a = alphas[j]
+                    xt = [xl[i] + a * dxk[i] for i in range(nx)]
+                    ut = [ul[i] + a * duk[i] for i in range(nu)]
+                    xt1 = [xn1[i] + a * dxk1[i] for i in range(nx)]
+                    utm1 = [ukm1[i] + a * dukm1[i] for i in range(nu)]
+                    dut = [_sub(ut[i], utm1[i]) for i in range(nu)]
+                    et = [_sub(xt[i], xdes_prev[i]) for i in range(nx)]
+                    sc, _rmag = stage_cost(xt, ut, dut, et, tk)
+                    val = step_fn(pack(xt), pack(ut))
+                    cl1 = cl1_t[j]
+                    for i in range(nx):
+                        cl1 = cl1 + jnp.abs(val[i] - xt1[i])
+                    xdes_k = rd(xdes_r, k, nx)
+                    jr = v(_rmag)
+                    for i in range(nx):
+                        er = val[i] - xdes_k[i]
+                        jr = _add(jr, _mul(q_w[i], _mul(er, er)))
+                    cost_o.append(cost_t[j] + v(sc))
+                    cl1_o.append(cl1)
+                    jref_o.append(jref_t[j] + jr)
+                return cost_o, cl1_o, jref_o
+
+            cost_t, cl1_t, jref_t = jax.lax.fori_loop(
+                0, N, trial, ([zero] * T, [zero] * T, [zero] * T))
+
+            # terminal terms per candidate
+            xN = rd(X_r, N, nx)
+            dxNl = rd(dX_s, N, nx)
+            xdesN = rd(xdes_r, N - 1, nx)
+            m_t, pass_t = [], []
+            for j in range(T):
+                a = alphas[j]
+                xt = [xN[i] + a * dxNl[i] for i in range(nx)]
+                ct = cost_t[j]
+                jr = jref_t[j]
+                for i in range(nx):
+                    eN_ = xt[i] - xdesN[i]
+                    eF_ = xt[i] - xfdes[i]
+                    ct = ct + q_w[i] * eN_ * eN_ + qf_w[i] * eF_ * eF_
+                    jr = jr + qf_w[i] * eF_ * eF_
+                ct = _add(ct, bar_value(xt, xmin, xmax, xlo_fin, xhi_fin))
+                m_j = ct + nu_pen * cl1_t[j]
+                m_t.append(m_j)
+                jref_t[j] = jr
+                pass_t.append(lc.armijo_pass(m_j, m0, a, ddir, eps_m))
+
+            alpha = jnp.zeros(S, dtype)
+            jref = jref_old
+            for j in reversed(range(T)):
+                alpha = jnp.where(pass_t[j], alphas[j], alpha)
+                jref = jnp.where(pass_t[j], jref_t[j], jref)
+
+            ab = alpha[None, None]
+            X_r[...] = X_r[...] + ab * dX_s[...]
+            U_r[...] = U_r[...] + ab * dU_s[...]
+            return nu_pen, stepn, feas, jref, alpha
+
+        nu_pen0 = jnp.ones(S, dtype)
+        inf = jnp.full(S, jnp.inf, dtype)
+        nu_pen, stepn, feas, jref, alpha = jax.lax.fori_loop(
+            0, n_iter, iter_body, (nu_pen0, inf, inf, inf, inf))
+        del tol
+        stats_r[...] = jnp.stack([stepn, feas, jref, alpha], 0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper.
+# ---------------------------------------------------------------------------
+
+def _to_tiles(a: Array, nb: int, sub: int, lanes: int) -> Array:
+    """(B, ...) -> (nb, ..., sub, lanes): instance -> (tile, sublane, lane)."""
+    rest = a.shape[1:]
+    a = a.reshape((nb, sub, lanes) + rest)
+    perm = (0,) + tuple(range(3, 3 + len(rest))) + (1, 2)
+    return jnp.transpose(a, perm)
+
+
+def _from_tiles(a: Array, B: int) -> Array:
+    """(nb, ..., sub, lanes) -> (B, ...)."""
+    nd = a.ndim
+    perm = (0, nd - 2, nd - 1) + tuple(range(1, nd - 2))
+    a = jnp.transpose(a, perm)
+    return a.reshape((-1,) + a.shape[3:])[:B]
+
+
+def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
+                      X0: Optional[Array] = None, U0: Optional[Array] = None,
+                      opts: SolverOptions = SolverOptions(),
+                      mu0: Optional[Array] = None,
+                      n_iter: int = 3,
+                      ls_fan: Sequence[float] = (1.0, 0.5, 0.25),
+                      tile: Tuple[int, int] = (SUB, LANES),
+                      interpret: Optional[bool] = None) -> SolveResult:
+    """Fixed-iteration warm solve of a scenario batch in one Pallas launch.
+
+    Same problem/QP/merit semantics as ``solve_batch_lanes`` (block-form
+    derivation: with augmented state z = [x; u_prev], the stage system has
+    Az = [[A,0],[0,0]], Bz = [[B],[I]], Hzz = diag[Dx, 2R], Hzu =
+    [[0],[-2R]], so the Riccati recursion closes over the three blocks
+    (Pxx, Pxv, Pvv) with all structural zeros folded at trace time), run
+    for exactly ``n_iter`` iterations at fixed barrier ``mu`` — the warm
+    receding-horizon regime (``SolverOptions.warm_mu_factor`` starts warm
+    solves at the mu floor, so the adaptive solver would hold mu constant
+    too).  Status is CONVERGED when the final Newton step and defects pass
+    ``opts.tol`` (cf. solver/fixed.py).
+
+    Cold starts and adaptive iteration belong to ``solve_batch_lanes``.
+    """
+    assert not prob.is_linear, "LTV mode uses solve_batch_lanes (no dynamics)"
+    assert prob.dynamics.supports_lanes, (
+        f"dynamics {prob.dynamics.name!r} is not lanes-polymorphic")
+    assert opts.num_control_inputs_saved == 0, (
+        "head-control pinning is not supported by the fused kernel; use "
+        "solve_batch_lanes")
+    nx, nu, N = prob.nx, prob.nu, prob.N
+    nz = nx + nu
+    sub, lanes = tile
+    tsz = sub * lanes
+    B = p.x0.shape[0]
+    dtype = p.x0.dtype
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if X0 is None:
+        X0 = jnp.zeros((B, N + 1, nx), dtype)
+    if U0 is None:
+        U0 = jnp.zeros((B, N, nu), dtype)
+
+    from .sqp import _strict_interior
+    X0 = jnp.concatenate([
+        p.x0[:, None],
+        jax.vmap(lambda xs, lo, hi: jax.vmap(
+            lambda x: _strict_interior(x, lo, hi))(xs))(
+                X0[:, 1:], p.x_min, p.x_max)], axis=1)
+    U0 = jax.vmap(lambda us, lo, hi: jax.vmap(
+        lambda u: _strict_interior(u, lo, hi))(us))(U0, p.u_min, p.u_max)
+
+    has_bounds = (jnp.any(jnp.isfinite(p.u_min), axis=1)
+                  | jnp.any(jnp.isfinite(p.u_max), axis=1)
+                  | jnp.any(jnp.isfinite(p.x_min), axis=1)
+                  | jnp.any(jnp.isfinite(p.x_max), axis=1))
+    floor = lc.mu_floor(opts)
+    if mu0 is None:
+        mu0 = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+    mu = lc.mu_start(has_bounds, mu0, floor, opts.mu_min, dtype)   # (B,)
+    mu = jnp.broadcast_to(mu, (B,))
+
+    # Pad the batch to whole tiles (edge-replicate: padded instances solve a
+    # real problem, so no NaN can leak into shared reductions).
+    nb = -(-B // tsz)
+    Bp = nb * tsz
+    pad = Bp - B
+
+    def prep(a):
+        a = jnp.asarray(a, dtype)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        return _to_tiles(a, nb, sub, lanes)
+
+    ins = tuple(prep(a) for a in (
+        X0, U0, p.x_des, p.q, p.r, p.rm, p.u_prev,
+        p.u_min, p.u_max, p.x_min, p.x_max, p.qf, p.xf_des, mu[:, None]))
+
+    def spec(a):
+        nd = a.ndim
+        return pl.BlockSpec((None,) + a.shape[1:],
+                            lambda b, nd=nd: (b,) + (0,) * (nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    S = (sub, lanes)
+    kernel = _make_kernel(prob, opts, n_iter, ls_fan, tile)
+    Xl, Ul, stats = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[spec(a) for a in ins],
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, N + 1, nx) + S, dtype),
+            jax.ShapeDtypeStruct((nb, N, nu) + S, dtype),
+            jax.ShapeDtypeStruct((nb, 4) + S, dtype),
+        ),
+        out_specs=(
+            pl.BlockSpec((None, N + 1, nx) + S, lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, N, nu) + S, lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 4) + S, lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, nu, nz) + S, dtype),      # feedback gains K
+            pltpu.VMEM((N, nu) + S, dtype),          # feedforward kff
+            pltpu.VMEM((N + 1, nx) + S, dtype),      # step direction dX
+            pltpu.VMEM((N, nu) + S, dtype),          # step direction dU
+            pltpu.VMEM((N + 1, nx + 2 * nu) + S, dtype),  # stage gradients
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*ins)
+
+    X = _from_tiles(Xl, B)
+    U = _from_tiles(Ul, B)
+    st = _from_tiles(stats, B)                       # (B, 4)
+    stepn, feas, obj = st[:, 0], st[:, 1], st[:, 2]
+
+    tol = jnp.asarray(opts.tol, dtype)
+    mu_min = jnp.asarray(floor, dtype)
+    converged = (stepn < tol) & (feas < tol) & (mu <= 2.0 * mu_min)
+    finite = (jnp.isfinite(stepn) & jnp.isfinite(feas)
+              & jnp.all(jnp.isfinite(X.reshape(B, -1)), axis=1))
+    status = jnp.where(~finite, DIVERGED,
+                       jnp.where(converged, CONVERGED, MAX_ITER))
+    iters = jnp.full((B,), n_iter, jnp.int32)
+    return SolveResult(X=X, U=U, iters=iters, status=status,
+                       kkt=stepn, feas=feas, obj=obj)

@@ -151,15 +151,16 @@ def test_lanes_solver_ltv_mode():
                - float(np.mean(np.asarray(ref.iters)[ok]))) <= 1.0
 
 
-@pytest.mark.parametrize("model,integrator", [
-    ("mahi_arm", "euler"),      # fast path, VJP through the mass-matrix solve
-    ("two_link_arm", "euler"),  # fast path
-    ("mahi_arm", "rk4"),        # generic JVP-fan fallback (no euler)
+@pytest.mark.parametrize("model,integrator,mode", [
+    ("mahi_arm", "euler", "rev"),     # reverse path, VJP through mass solve
+    ("two_link_arm", "euler", "rev"),  # reverse path
+    ("mahi_arm", "euler", "auto"),    # auto resolves to the fan
+    ("mahi_arm", "rk4", "auto"),      # generic JVP-fan fallback (no euler)
 ])
-def test_second_order_linearize_parity(model, integrator):
-    """The second-order reverse-mode fast path of _linearize_lanes (Dynamics.nq
-    + Euler) matches the vmapped jacfwd reference; the RK4 row pins the
-    generic fallback on the same model."""
+def test_second_order_linearize_parity(model, integrator, mode):
+    """Every SolverOptions.linearize_mode formulation of _linearize_lanes
+    matches the vmapped jacfwd reference: the second-order reverse rows
+    (Dynamics.nq + Euler), the unrolled fan, and the RK4 fallback."""
     dyn = make_dynamics(model)
     mp = ModelParameters(
         "lin_t", num_x=dyn.nx, num_u=dyn.nu, step_size=0.005,
@@ -173,7 +174,7 @@ def test_second_order_linearize_parity(model, integrator):
     p = default_params(mp)
     pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
 
-    A_l, B_l, c_l = _linearize_lanes(prob, X, U)
+    A_l, B_l, c_l = _linearize_lanes(prob, X, U, mode=mode)
     A_v, B_v, c_v = jax.vmap(
         lambda X_, U_, p_: prob.linearize_stages(X_, U_, p_))(X, U, pb)
     np.testing.assert_allclose(np.asarray(A_l), np.asarray(A_v),
