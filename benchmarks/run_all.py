@@ -191,9 +191,19 @@ def bench_batch1_fixed(cfg, rounds, opts_kw):
     float(x)
     null_ms = (time.perf_counter() - t0) / reps * 1e3
 
+    from mahi_mpc_tpu.solver.fused import solve_batch_fused
+
     cold = jax.jit(lambda pp, X, U, mu: solve(prob, pp, X, U, opts, mu0=mu))
     fixed = jax.jit(lambda pp, X, U, mu: solve_fixed(
         prob, pp, X, U, opts, mu0=mu, n_iter=3))
+
+    def _fused1(pp, X, U, mu):
+        pb = jax.tree.map(lambda a: a[None], pp)
+        res = solve_batch_fused(prob, pb, X[None], U[None], opts, mu0=mu,
+                                n_iter=3)
+        return jax.tree.map(lambda a: a[0], res)
+
+    fused1 = jax.jit(_fused1)
     mu_cold = jnp.asarray(opts.mu_init, dtype)
     mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
 
@@ -201,26 +211,37 @@ def bench_batch1_fixed(cfg, rounds, opts_kw):
                jnp.zeros((cfg["N"], dyn.nu), dtype), mu_cold)
     float(jnp.sum(res.U))
 
-    lat = []
-    for i in range(rounds):
-        p = p._replace(x0=p.x0 + jnp.asarray(0.002 * np.sin(i), dtype))
-        t0 = time.perf_counter()
-        res = fixed(p, res.X, res.U, mu_warm)
-        float(jnp.sum(res.U))
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat[1:])  # drop the fixed-program compile round
-    p50 = float(np.percentile(lat, 50) * 1e3)
-    return {
-        "desc": cfg["desc"] + " — fixed-3-iteration latency program",
-        "batch": 1,
-        "warm_p50_ms": round(p50, 2),
-        "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
-        "null_roundtrip_ms": round(null_ms, 2),
-        "compute_ms_est": round(p50 - null_ms, 2),
-        "kkt": float(res.kkt),
-        "converged": bool(res.status == 0),
-        "fits_1kHz_budget": bool(float(np.percentile(lat, 99) * 1e3) <= 1.0),
-    }
+    def loop(fn, tag):
+        nonlocal p
+        res_l = cold(p, jnp.zeros((cfg["N"] + 1, dyn.nx), dtype),
+                     jnp.zeros((cfg["N"], dyn.nu), dtype), mu_cold)
+        float(jnp.sum(res_l.U))
+        lat = []
+        for i in range(rounds):
+            p = p._replace(x0=p.x0 + jnp.asarray(0.002 * np.sin(i), dtype))
+            t0 = time.perf_counter()
+            res_l = fn(p, res_l.X, res_l.U, mu_warm)
+            float(jnp.sum(res_l.U))
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat[1:])  # drop the compile round
+        p50 = float(np.percentile(lat, 50) * 1e3)
+        return {
+            "desc": cfg["desc"] + f" — {tag}",
+            "batch": 1,
+            "warm_p50_ms": round(p50, 2),
+            "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+            "null_roundtrip_ms": round(null_ms, 2),
+            "compute_ms_est": round(p50 - null_ms, 2),
+            "kkt": float(res_l.kkt),
+            "converged": bool(res_l.status == 0),
+            "fits_1kHz_budget": bool(
+                float(np.percentile(lat, 99) * 1e3) <= 1.0),
+        }
+
+    out = {"fixed": loop(fixed, "fixed-3-iteration latency program"),
+           "fused": loop(fused1, "fused one-launch Pallas program "
+                                 "(warm_solver='fused', round 4)")}
+    return out
 
 
 def main():
@@ -267,9 +288,12 @@ def main():
             r1f = bench_batch1_fixed(cfg, max(args.rounds, 50),
                                      dict(tol=args.tol,
                                           max_iter=args.max_iter))
-            report["configs"]["4_batch1_fixed"] = r1f
-            print(f"config 4 @ batch 1 (fixed program): {json.dumps(r1f)}",
-                  flush=True)
+            report["configs"]["4_batch1_fixed"] = r1f["fixed"]
+            report["configs"]["4_batch1_fused"] = r1f["fused"]
+            print(f"config 4 @ batch 1 (fixed program): "
+                  f"{json.dumps(r1f['fixed'])}", flush=True)
+            print(f"config 4 @ batch 1 (fused kernel): "
+                  f"{json.dumps(r1f['fused'])}", flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)

@@ -433,24 +433,34 @@ def make_two_link_arm(l1: float = 1.0, l2: float = 1.0, m1: float = 1.0,
 
 @register("mahi_arm")
 def make_mahi_arm(g: float = 9.81) -> Dynamics:
-    """4-DOF MAHI-exoskeleton-class arm: elbow flexion, forearm
-    pronation/supination, wrist flexion, wrist radial/ulnar deviation — the
-    joint structure of the mass matrix in ``src/inverseTest.cpp:59-83``.
-    Parameters are representative human-forearm values (not transcribed from
-    the reference's symbolic blob); what matters for the benchmark is the
-    4-DOF serial-chain structure (nx=8, nu=4)."""
+    """4-DOF MAHI-exoskeleton arm: elbow flexion, forearm
+    pronation/supination, wrist flexion/extension, wrist radial/ulnar
+    deviation (nx=8, nu=4).
+
+    The kinematic structure is the reference's real exo chain, decoded from
+    its full symbolic mass matrix (``src/inverseTest.cpp:59-83``) and pinned
+    to roundoff in
+    ``tests/test_dynamics.py::test_mahi_exo_mass_matrix_matches_reference``:
+    joint axes (world frame, zero posture) x, y, z, -y, with joints 1-3
+    co-located 0.15 m from the elbow axis along z (the forearm segment; the
+    3/20 literals in the reference expressions).  Inertial PARAMETER values
+    are representative human-forearm magnitudes — the reference keeps its
+    parameters symbolic (``Icxx_i``/``Pcx_i``/``m_i``), so there are no
+    reference numbers to transcribe; the oracle test binds them to random
+    values instead."""
     links = [
-        # elbow flexion about y; upper arm is the fixed base
-        LinkSpec(axis=(0, 1, 0), offset=(0, 0, 0), com=(0.15, 0, 0),
-                 mass=1.5, inertia=(0.002, 0.01, 0.01)),
-        # forearm pronation/supination about the forearm axis (x)
-        LinkSpec(axis=(1, 0, 0), offset=(0.25, 0, 0), com=(0.05, 0, 0),
-                 mass=0.5, inertia=(0.001, 0.002, 0.002)),
-        # wrist flexion/extension about z
-        LinkSpec(axis=(0, 0, 1), offset=(0.05, 0, 0), com=(0.03, 0, 0),
-                 mass=0.4, inertia=(0.0008, 0.0012, 0.0012)),
-        # wrist radial/ulnar deviation about y
-        LinkSpec(axis=(0, 1, 0), offset=(0.03, 0, 0), com=(0.05, 0, 0),
-                 mass=0.45, inertia=(0.0006, 0.0012, 0.0012)),
+        # elbow flexion about x; upper arm is the fixed base.  The forearm
+        # COM sits along the offset axis toward the wrist cluster.
+        LinkSpec(axis=(1, 0, 0), offset=(0, 0, 0), com=(0, 0, 0.10),
+                 mass=1.5, inertia=(0.010, 0.010, 0.002)),
+        # forearm pronation/supination about y, 0.15 m down the forearm
+        LinkSpec(axis=(0, 1, 0), offset=(0, 0, 0.15), com=(0, 0.05, 0),
+                 mass=0.5, inertia=(0.002, 0.001, 0.002)),
+        # wrist flexion/extension about z (co-located)
+        LinkSpec(axis=(0, 0, 1), offset=(0, 0, 0), com=(0, 0.03, 0),
+                 mass=0.4, inertia=(0.0012, 0.0012, 0.0008)),
+        # wrist radial/ulnar deviation about -y (co-located)
+        LinkSpec(axis=(0, -1, 0), offset=(0, 0, 0), com=(0, -0.05, 0),
+                 mass=0.45, inertia=(0.0012, 0.0006, 0.0012)),
     ]
     return make_serial_arm("mahi_arm", links, g=g, joint_damping=0.05)

@@ -214,6 +214,14 @@ class SolverOptions:
     # 3 reproduces the steady-state warm solve on the benchmark configs
     # (tests/test_fixed.py); cold solves always use the adaptive path.
     fixed_warm_iters: int = 0
+    # Which program serves warm re-solves in the runtime (ModelControl):
+    # "auto" = solve_fixed when fixed_warm_iters > 0, else the adaptive
+    # solver (the pre-round-4 behavior); "fused" = the one-launch Pallas
+    # SQP kernel (solver/fused.py) at batch 1 — the measured batch-1 warm
+    # p50 drops ~25 ms -> ~5 ms on TPU v5e because the solve is a single
+    # kernel launch instead of ~10^4 serially-issued elementwise ops
+    # (docs/PERFORMANCE.md §8; round-3 VERDICT item 5).
+    warm_solver: str = "auto"
     # Pin the first k controls of each solve to their warm-start values
     # (reference ``m_num_control_inputs_saved``: intended at
     # ``ModelControl.cpp:165-171`` but a no-op there since the field is never

@@ -82,6 +82,20 @@ class BatchModelControl:
                     p_b, X, U)
 
         self._step = jax.jit(step_fn, donate_argnums=(1, 2))
+        # Warm steps through the one-launch fused Pallas kernel (round 4):
+        # opts.warm_solver == "fused" serves steady-state re-solves at
+        # ~8-66x the lanes solver's throughput (benchmarks/
+        # results_fused.json); cold steps (and LTV mode, which has no
+        # dynamics graph to fuse) stay on the adaptive solver.
+        self._step_warm = None
+        if (opts.warm_solver == "fused" and not params.is_linear
+                and dynamics.supports_lanes):
+            from ..solver.fused import solve_batch_fused
+            k = opts.fixed_warm_iters or 3
+            self._step_warm = jax.jit(
+                lambda p_b, X, U, mu0: solve_batch_fused(
+                    prob, p_b, X, U, opts, mu0=mu0, n_iter=k),
+                donate_argnums=(1, 2))
         # LTV relinearization must be jitted: an eager vmap(jacfwd) per
         # step() dispatches hundreds of tiny ops through the remote tunnel
         # and measured 9,833 ms vs 28.5 ms for the whole warm batch-256
@@ -138,7 +152,9 @@ class BatchModelControl:
         self.relinearize()   # LTV: refreeze at current states (no-op else)
         mu0 = self._mu_warm if self._warm else self._mu_cold
         t0 = time.perf_counter()
-        res = self._step(self._p, self._X, self._U, mu0)
+        fn = (self._step_warm if (self._warm and self._step_warm is not None)
+              else self._step)
+        res = fn(self._p, self._X, self._U, mu0)
         jax.block_until_ready(res)
         self.solve_time_s = time.perf_counter() - t0
 

@@ -209,7 +209,22 @@ class ModelControl:
 
             self._solve_fn = jax.jit(
                 lambda p, X0, U0, mu0: solve(prob, p, X0, U0, opts, mu0=mu0))
-            if opts.fixed_warm_iters > 0:
+            if opts.warm_solver == "fused":
+                # One-launch Pallas warm solve at batch 1 (round-4): pads
+                # the instance to a 1024-lane tile, but one kernel launch
+                # replaces the ~10^4 serially-issued ops that made batch-1
+                # latency 25 ms (docs/PERFORMANCE.md §8).
+                from ..solver.fused import solve_batch_fused
+                k = opts.fixed_warm_iters or 3
+
+                def _warm1(p, X0, U0, mu0):
+                    pb = jax.tree.map(lambda a: a[None], p)
+                    res = solve_batch_fused(prob, pb, X0[None], U0[None],
+                                            opts, mu0=mu0, n_iter=k)
+                    return jax.tree.map(lambda a: a[0], res)
+
+                self._warm_fn = jax.jit(_warm1)
+            elif opts.fixed_warm_iters > 0:
                 from ..solver.fixed import solve_fixed
                 k = opts.fixed_warm_iters
                 self._warm_fn = jax.jit(

@@ -581,7 +581,7 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
                       mu0: Optional[Array] = None,
                       n_iter: int = 3,
                       ls_fan: Sequence[float] = (1.0, 0.5, 0.25),
-                      tile: Tuple[int, int] = (SUB, LANES),
+                      tile: Optional[Tuple[int, int]] = None,
                       interpret: Optional[bool] = None) -> SolveResult:
     """Fixed-iteration warm solve of a scenario batch in one Pallas launch.
 
@@ -606,12 +606,18 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
         "solve_batch_lanes")
     nx, nu, N = prob.nx, prob.nu, prob.N
     nz = nx + nu
-    sub, lanes = tile
-    tsz = sub * lanes
     B = p.x0.shape[0]
     dtype = p.x0.dtype
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile is None:
+        # Real TPU: one (8, 128) vreg per element.  Interpreter (the CPU
+        # test mesh): a small tile — there is no alignment rule, and
+        # interpreting a 1024-instance tile for an 8-instance problem
+        # would be pure padding work.
+        tile = (SUB, LANES) if not interpret else (1, 8)
+    sub, lanes = tile
+    tsz = sub * lanes
 
     if X0 is None:
         X0 = jnp.zeros((B, N + 1, nx), dtype)
