@@ -178,17 +178,29 @@ def bench_batch1_fixed(cfg, rounds, opts_kw):
                    x_des=jnp.asarray(
                        0.2 * rng.standard_normal((cfg["N"], dyn.nx)), dtype))
 
-    # Null-program round trip: dispatch floor (enqueue + execute trivial op +
-    # scalar pull) with the same methodology as the solve timing.
+    # Null-program floors.  Two distinct numbers on a remote-dispatch
+    # backend (round-4 finding, rewrites the round-3 section-8 story):
+    #   chained  (~1.5 ms): per-dispatch cost when launches overlap —
+    #            what a free-running solver thread pays per re-plan;
+    #   blocking (~27 ms): enqueue + wait + device->host pull — what ANY
+    #            per-round readback pays through this tunnel, null program
+    #            or 3-iteration SQP alike.  On a directly attached TPU the
+    #            pull is microseconds; through the tunnel it dominates
+    #            every batch-1 number ever measured here.
     null = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((), dtype)
     x = null(x)
     float(x)
-    t0 = time.perf_counter()
     reps = 30
+    t0 = time.perf_counter()
     for _ in range(reps):
         x = null(x)
     float(x)
+    null_chained_ms = (time.perf_counter() - t0) / reps * 1e3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = null(x)
+        float(x)
     null_ms = (time.perf_counter() - t0) / reps * 1e3
 
     from mahi_mpc_tpu.solver.fused import solve_batch_fused
@@ -225,12 +237,24 @@ def bench_batch1_fixed(cfg, rounds, opts_kw):
             lat.append(time.perf_counter() - t0)
         lat = np.asarray(lat[1:])  # drop the compile round
         p50 = float(np.percentile(lat, 50) * 1e3)
+        # Chained pass: per-solve DEVICE time with overlapped dispatch (one
+        # completion pull at the end) — the free-running-solver-thread
+        # cadence, and the honest compute number for this backend.
+        t0 = time.perf_counter()
+        nch = len(lat)
+        for i in range(nch):
+            p_l = p._replace(x0=p.x0 + jnp.asarray(0.002 * np.sin(i), dtype))
+            res_l = fn(p_l, res_l.X, res_l.U, mu_warm)
+        float(jnp.sum(res_l.U))
+        chained_ms = (time.perf_counter() - t0) / nch * 1e3
         return {
             "desc": cfg["desc"] + f" — {tag}",
             "batch": 1,
             "warm_p50_ms": round(p50, 2),
             "warm_p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
-            "null_roundtrip_ms": round(null_ms, 2),
+            "warm_chained_ms_per_solve": round(chained_ms, 2),
+            "null_blocking_roundtrip_ms": round(null_ms, 2),
+            "null_chained_ms": round(null_chained_ms, 2),
             "compute_ms_est": round(p50 - null_ms, 2),
             "kkt": float(res_l.kkt),
             "converged": bool(res_l.status == 0),
@@ -254,6 +278,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--max-iter", type=int, default=12)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the whole run "
+                         "into DIR (Perfetto/TensorBoard viewable)")
     args = ap.parse_args()
 
     import jax
@@ -264,7 +291,19 @@ def main():
         ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from mahi_mpc_tpu.utils.profiling import device_trace
+
     report = {"device": str(jax.devices()[0]), "configs": {}}
+    with device_trace(args.profile):
+        _run_configs(args, report)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print("wrote", args.out)
+
+
+def _run_configs(args, report):
+    import json as _json  # noqa: F401
     for c in args.configs:
         cfg = CONFIGS[c]
         batch = args.batch or (4096 if c == 5 else 256)
@@ -294,10 +333,6 @@ def main():
                   f"{json.dumps(r1f['fixed'])}", flush=True)
             print(f"config 4 @ batch 1 (fused kernel): "
                   f"{json.dumps(r1f['fused'])}", flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(report, f, indent=2)
-        print("wrote", args.out)
 
 
 if __name__ == "__main__":

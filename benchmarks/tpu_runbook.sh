@@ -35,5 +35,15 @@ timeout 3600 python bench.py | tail -1 | tee benchmarks/headline_latest.json
 timeout 3600 python benchmarks/bench_kkt.py --n 512 --nx 4 --nu 2 \
     --batches 16 128 --out benchmarks/results_kkt_n512.json
 
-# 8. Regenerate the published section strictly from the artifacts above
+# 8. Fused-kernel vs lanes same-process A/B ladder (round 4; merges rungs
+#    into benchmarks/results_fused.json)
+FUSED_BATCHES=1024,4096 timeout 3600 python benchmarks/bench_fused.py
+FUSED_BATCHES=16384,65536 FUSED_ROUNDS=8 timeout 3600 python benchmarks/bench_fused.py
+FUSED_BATCHES=131072 FUSED_ROUNDS=8 timeout 3600 python benchmarks/bench_fused.py
+
+# 9. Scaling-efficiency artifact (1-chip row here; on a pod this records
+#    the real multi-chip rows)
+timeout 1800 python benchmarks/bench_scaling.py
+
+# 10. Regenerate the published section strictly from the artifacts above
 python benchmarks/publish.py --headline-from benchmarks/headline_latest.json
