@@ -90,6 +90,24 @@ def main():
                             "converged_frac")},
             }
 
+    fused = _load("benchmarks/results_fused.json")
+    if fused:
+        rows = fused.get("results", {})
+        if rows:
+            best_b = max(rows, key=lambda b: rows[b]["fused_solves_per_s"])
+            pub["fused_kernel"] = {
+                "source": "benchmarks/results_fused.json",
+                "peak": {"batch": int(best_b), **rows[best_b]},
+                "per_batch_solves_per_s": {
+                    b: rows[b]["fused_solves_per_s"] for b in sorted(
+                        rows, key=int)},
+            }
+
+    scaling = _load("benchmarks/results_scaling.json")
+    if scaling:
+        pub["scaling"] = {"source": "benchmarks/results_scaling.json",
+                          **scaling}
+
     if args.headline_from:
         h = _load(args.headline_from)
         if h:

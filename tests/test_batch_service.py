@@ -83,6 +83,7 @@ def test_checkpoint_roundtrip():
     np.testing.assert_allclose(u_a, u_b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_warm_service():
     """warm_solver='fused' (round 4): warm service steps run through the
     one-launch Pallas kernel; closed loop still converges and metrics are

@@ -57,7 +57,10 @@ def test_lanes_defects_and_linearize_match_vmap():
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("model", ["double_pendulum", "mahi_arm"])
+@pytest.mark.parametrize("model", [
+    "double_pendulum",
+    pytest.param("mahi_arm", marks=pytest.mark.slow),
+])
 def test_lanes_solver_matches_vmap(model):
     """Identical algorithm; float32 op-order differs (lanes vs vmap layout),
     so borderline instances may take one extra/fewer iteration near the
@@ -152,10 +155,10 @@ def test_lanes_solver_ltv_mode():
 
 
 @pytest.mark.parametrize("model,integrator,mode", [
-    ("mahi_arm", "euler", "rev"),     # reverse path, VJP through mass solve
+    pytest.param("mahi_arm", "euler", "rev", marks=pytest.mark.slow),
     ("two_link_arm", "euler", "rev"),  # reverse path
-    ("mahi_arm", "euler", "auto"),    # auto resolves to the fan
-    ("mahi_arm", "rk4", "auto"),      # generic JVP-fan fallback (no euler)
+    pytest.param("mahi_arm", "euler", "auto", marks=pytest.mark.slow),
+    pytest.param("mahi_arm", "rk4", "auto", marks=pytest.mark.slow),
 ])
 def test_second_order_linearize_parity(model, integrator, mode):
     """Every SolverOptions.linearize_mode formulation of _linearize_lanes

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from mahi_mpc_tpu import ModelParameters, SolverOptions
@@ -28,6 +29,7 @@ def _setup():
     return prob, p
 
 
+@pytest.mark.slow
 def test_fixed_warm_matches_adaptive():
     """Warm-started solve_fixed(n_iter=3) reproduces the steady-state warm
     solve of the adaptive path on the flagship problem."""
@@ -48,6 +50,7 @@ def test_fixed_warm_matches_adaptive():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fixed_program_has_no_while_loops():
     """The whole point: the lowered program is straight-line (no While ops),
     so dispatch latency is one round, not iters x linesearch rounds."""

@@ -51,6 +51,7 @@ def _setup(n_nodes=10, bounded=True, x_bounded=False, B=8, seed=0):
     return prob, pb, opts
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("x_bounded", [False, True])
 def test_single_iteration_parity(x_bounded):
     """One fused iteration == one lanes-solver iteration (same mu, same
@@ -71,6 +72,7 @@ def test_single_iteration_parity(x_bounded):
     np.testing.assert_allclose(np.asarray(rb.U), np.asarray(ra.U), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_warm_solve_matches_lanes():
     """Three fused iterations reproduce the adaptive warm solve (which takes
     exactly 3 iterations in this regime) to float32 roundoff, including
@@ -93,6 +95,7 @@ def test_warm_solve_matches_lanes():
     assert float(jnp.max(rf.feas)) < opts.tol
 
 
+@pytest.mark.slow
 def test_bound_respect_and_padding():
     """Active u-bounds stay strictly inside the box, and a batch that is not
     a multiple of the tile size pads/unpads correctly."""
@@ -111,6 +114,7 @@ def test_bound_respect_and_padding():
     assert bool(jnp.all(jnp.isfinite(rf.X)))
 
 
+@pytest.mark.slow
 def test_unbounded_problem():
     """No bounds: barrier inert, pure Gauss-Newton; matches lanes solver."""
     prob, pb, opts = _setup(bounded=False)
@@ -137,3 +141,38 @@ def test_element_dynamics_matches_f():
                               [u[i] for i in range(dyn.nu)]), 0)
     np.testing.assert_allclose(np.asarray(fe), np.asarray(fa),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("model,ulim", [
+    ("pendulum", 6.0), ("cartpole", 10.0),
+    pytest.param("two_link_arm", 40.0, marks=pytest.mark.slow),
+    ("double_pendulum", 40.0),
+])
+def test_fused_generalizes_across_models(model, ulim):
+    """The fused kernel serves every registered model family, not just the
+    serial arms: scalar closed forms trace in-kernel directly (no array
+    constants), arms via f_elem.  Warm solve pinned against the lanes
+    solver."""
+    dyn = make_dynamics(model)
+    mp = ModelParameters("t", num_x=dyn.nx, num_u=dyn.nu, step_size=0.01,
+                         num_shooting_nodes=10, u_min=[-ulim] * dyn.nu,
+                         u_max=[ulim] * dyn.nu, dynamics_name=model)
+    prob = make_problem(mp, dyn)
+    opts = SolverOptions(tol=1e-4, max_iter=40, dtype="float32")
+    B, dtype = 8, jnp.float32
+    rng = np.random.default_rng(0)
+    from mahi_mpc_tpu.transcribe.shooting import default_params as _dp
+    p = _dp(mp, dtype=dtype)
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    pb = pb._replace(
+        x0=jnp.asarray(0.2 * rng.standard_normal((B, dyn.nx)), dtype),
+        x_des=jnp.asarray(0.1 * rng.standard_normal((B, 10, dyn.nx)), dtype))
+    r0 = solve_batch_lanes(prob, pb, None, None, opts,
+                           mu0=jnp.asarray(opts.mu_init, dtype))
+    pb2 = pb._replace(x0=pb.x0 + 0.01)
+    mu_w = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+    rw = solve_batch_lanes(prob, pb2, r0.X, r0.U, opts, mu0=mu_w)
+    rf = solve_batch_fused(prob, pb2, r0.X, r0.U, opts, mu0=mu_w, n_iter=3,
+                           tile=TILE, interpret=True)
+    np.testing.assert_allclose(np.asarray(rf.U), np.asarray(rw.U), atol=2e-5)
+    assert float(jnp.mean((rf.status == 0).astype(jnp.float32))) == 1.0

@@ -177,6 +177,7 @@ def test_warm_start_reduces_iterations():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mahi_arm_config4_matches_slsqp():
     """BASELINE config #4 end-to-end oracle: 4-DOF MAHI-class arm, N=25,
     dt=2 ms, bounded torques — the flagship problem (the round-1 suite never

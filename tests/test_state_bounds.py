@@ -56,6 +56,7 @@ def test_state_bounds_oracle_double_pendulum():
     assert J_ours <= J_ref + 1e-5 * max(1.0, abs(J_ref))
 
 
+@pytest.mark.slow
 def test_state_bounds_oracle_mahi_arm():
     """4-DOF arm with binding joint-velocity limits (the flagship problem of
     BASELINE config #4, now with finite x bounds)."""

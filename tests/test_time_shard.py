@@ -34,7 +34,8 @@ def _qp(N=24, seed=0):
     return build_stage_qp(prob, X, U, p, jnp.asarray(1e-2), jnp.asarray(1e-8))
 
 
-@pytest.mark.parametrize("n_time", [2, 4])
+@pytest.mark.parametrize("n_time", [
+    2, pytest.param(4, marks=pytest.mark.slow)])
 def test_time_sharded_equals_scan(n_time):
     devs = jax.devices()[:n_time]
     assert len(devs) == n_time, "conftest provides an 8-device CPU mesh"
