@@ -41,6 +41,10 @@ FUSED_BATCHES=1024,4096 timeout 3600 python benchmarks/bench_fused.py
 FUSED_BATCHES=16384,65536 FUSED_ROUNDS=8 timeout 3600 python benchmarks/bench_fused.py
 FUSED_BATCHES=131072 FUSED_ROUNDS=8 timeout 3600 python benchmarks/bench_fused.py
 
+# 8b. LTV production-service end-to-end check (config 6 through
+#     BatchModelControl.step with the jitted relinearize)
+timeout 1800 python benchmarks/bench_ltv_service.py
+
 # 9. Scaling-efficiency artifact (1-chip row here; on a pod this records
 #    the real multi-chip rows)
 timeout 1800 python benchmarks/bench_scaling.py
