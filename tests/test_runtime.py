@@ -189,3 +189,24 @@ def test_fixed_warm_runtime_roundtrip(tmp_path):
     assert p1.status in (0, 1) and p2.status in (0, 1)
     # warm plan continues the cold plan smoothly
     assert np.max(np.abs(p2.U - p1.U)) < 1.0
+
+
+def test_fused_warm_runtime():
+    """warm_solver='fused' (round 4): ModelControl serves warm re-solves
+    through the one-launch Pallas kernel (interpret mode on CPU) — cold
+    solves stay adaptive, plan continuity holds, statuses sane."""
+    dyn = make_dynamics("pendulum")
+    mp = _pendulum_params("fused_rt")
+    opts = SolverOptions(tol=1e-4, max_iter=40, warm_solver="fused",
+                         fixed_warm_iters=3)
+    mc = ModelControl(mp, dynamics=dyn, Q=[20.0, 1.0], R=[0.5], Rm=[0.0],
+                      opts=opts)
+    assert mc._warm_fn is not None
+    traj = _sin_traj(mp, 0.0)
+    p1 = mc.calc_u(0.0, [0.5, 0.0], [0.0], traj)       # cold: adaptive
+    p2 = mc.calc_u(0.002, [0.5, 0.01], [0.0], traj)    # warm: fused kernel
+    p3 = mc.calc_u(0.004, [0.5, 0.02], [0.0], traj)
+    assert p2.iters == 3 and p3.iters == 3
+    assert p3.status == 0, (p3.status, p3)
+    assert np.max(np.abs(p2.U - p1.U)) < 1.0
+    assert np.all(np.abs(p3.U) <= 8.0 + 1e-5)
