@@ -95,6 +95,13 @@ def bench_config(cfg, batch, rounds, opts_kw):
     # batch-first layout).
     fn = jax.jit(lambda pp, xx, uu, mu: solve_batch_lanes(
         prob, pp, xx, uu, opts, mu0=mu))
+    # Fused one-launch warm path (round 4): measured per config so every
+    # benchmark problem has a fused row, not just the headline.
+    fused_fn = None
+    if not prob.is_linear:
+        from mahi_mpc_tpu.solver.fused import solve_batch_fused
+        fused_fn = jax.jit(lambda pp, xx, uu: solve_batch_fused(
+            prob, pp, xx, uu, opts, n_iter=3))
     X = jnp.zeros((B, cfg["N"] + 1, dyn.nx), dtype)
     U = jnp.zeros((B, cfg["N"], dyn.nu), dtype)
     mu_cold = jnp.asarray(opts.mu_init, dtype)
@@ -124,6 +131,28 @@ def bench_config(cfg, batch, rounds, opts_kw):
         round_iters.append((float(jnp.mean(res.iters)),
                             int(jnp.max(res.iters))))
     lat = np.asarray(lat)
+
+    fused_fields = {}
+    if fused_fn is not None:
+        resf = fused_fn(pb, res.X, res.U)      # compile (not timed)
+        jax.block_until_ready(resf)
+        flat = []
+        for i in range(rounds):
+            pb = pb._replace(x0=pb.x0 + jnp.asarray(0.01 * np.sin(i), dtype))
+            t0 = time.perf_counter()
+            resf = fused_fn(pb, resf.X, resf.U)
+            float(jnp.sum(resf.U))
+            lat_i = time.perf_counter() - t0
+            flat.append(lat_i)
+        flat = np.asarray(flat)
+        fp50 = float(np.percentile(flat, 50))
+        fused_fields = {
+            "fused_warm_p50_ms": round(fp50 * 1e3, 2),
+            "fused_solves_per_s": round(B / fp50, 1),
+            "fused_converged_frac": round(float(jnp.mean(
+                (resf.status == 0).astype(jnp.float32))), 3),
+        }
+
     return {
         "desc": cfg["desc"],
         "batch": B,
@@ -143,6 +172,7 @@ def bench_config(cfg, batch, rounds, opts_kw):
             (res.status == 0).astype(jnp.float32))), 3),
         "round_ms": [round(v * 1e3, 1) for v in lat.tolist()],
         "round_max_iters": [mi for _, mi in round_iters],
+        **fused_fields,
     }
 
 

@@ -183,6 +183,15 @@ class ModelControl:
             self._warm_fn = (jax.jit(jax.export.deserialize(
                 warm_path.read_bytes()).call)
                 if warm_path.is_file() else None)
+            # Fused one-launch warm artifact (round 4): TPU-only (the
+            # Mosaic custom call has no CPU lowering), preferred over the
+            # fixed program when present and the backend matches.
+            from .generate import FUSED_SUFFIX
+            fused_path = art.with_name(
+                art.name[: -len(ARTIFACT_SUFFIX)] + FUSED_SUFFIX)
+            if fused_path.is_file() and jax.default_backend() == "tpu":
+                self._warm_fn = jax.jit(jax.export.deserialize(
+                    fused_path.read_bytes()).call)
             lin_path = art.with_name(
                 art.name[: -len(ARTIFACT_SUFFIX)] + LINEAR_SUFFIX)
             if lin_path.is_file():

@@ -30,6 +30,7 @@ from ..transcribe.shooting import MPCParams, ShootingProblem, default_params, ma
 ARTIFACT_SUFFIX = ".mpcx"
 LINEAR_SUFFIX = "_linear.mpcx"
 WARM_SUFFIX = "_warm.mpcx"
+FUSED_SUFFIX = "_fusedwarm.mpcx"
 
 
 def _export_platforms() -> Sequence[str]:
@@ -116,6 +117,32 @@ class ModelGenerator:
             jax.ShapeDtypeStruct((nx,), dtype), jax.ShapeDtypeStruct((nu,), dtype))
         (directory / f"{mp.name}{LINEAR_SUFFIX}").write_bytes(
             lin_exp.serialize())
+
+        if self.opts.warm_solver == "fused" and not mp.is_linear:
+            # One-launch fused Pallas warm program (round 4).  A Pallas
+            # kernel lowers to a tpu_custom_call whose Mosaic payload is
+            # hardware-specific, not a stability-guaranteed StableHLO op —
+            # jax.export requires the explicit safety-check opt-out, and
+            # the artifact is TPU-only (verified to round-trip and execute
+            # bit-identically on v5e).  The CPU fallback remains the
+            # adaptive artifact.
+            from ..solver.fused import solve_batch_fused
+            prob, opts = self.problem, self.opts
+            k = opts.fixed_warm_iters or 3
+
+            def fused_fn(p, X0, U0, mu0):
+                pb = jax.tree.map(lambda a: a[None], p)
+                res = solve_batch_fused(prob, pb, X0[None], U0[None], opts,
+                                        mu0=mu0, n_iter=k, tile=(8, 128),
+                                        interpret=False)
+                return jax.tree.map(lambda a: a[0], res)
+
+            fused_exp = jax.export.export(
+                jax.jit(fused_fn), platforms=["tpu"],
+                disabled_checks=[jax.export.DisabledSafetyCheck.custom_call(
+                    "tpu_custom_call")])(p_spec, X_spec, U_spec, mu_spec)
+            (directory / f"{mp.name}{FUSED_SUFFIX}").write_bytes(
+                fused_exp.serialize())
 
         if self.opts.fixed_warm_iters > 0:
             # Latency-shaped warm-resolve program (no While ops): a second

@@ -668,35 +668,41 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
 
     S = (sub, lanes)
     kernel = _make_kernel(prob, opts, n_iter, ls_fan, tile)
-    Xl, Ul, stats = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[spec(a) for a in ins],
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, N + 1, nx) + S, dtype),
-            jax.ShapeDtypeStruct((nb, N, nu) + S, dtype),
-            jax.ShapeDtypeStruct((nb, 4) + S, dtype),
-        ),
-        out_specs=(
-            pl.BlockSpec((None, N + 1, nx) + S, lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, N, nu) + S, lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 4) + S, lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((N, nu, nz) + S, dtype),      # feedback gains K
-            pltpu.VMEM((N, nu) + S, dtype),          # feedforward kff
-            pltpu.VMEM((N + 1, nx) + S, dtype),      # step direction dX
-            pltpu.VMEM((N, nu) + S, dtype),          # step direction dU
-            pltpu.VMEM((N + 1, nx + 2 * nu) + S, dtype),  # stage gradients
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20,
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(*ins)
+    # Trace the kernel with x64 disabled: under jax_enable_x64 python-float
+    # literals are weak float64, and the f64->f32 demotes they force have
+    # no Mosaic lowering.  Everything in this solver is explicit float32,
+    # so the flag only affects those literals.
+    with jax.enable_x64(False):
+        Xl, Ul, stats = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[spec(a) for a in ins],
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, N + 1, nx) + S, dtype),
+                jax.ShapeDtypeStruct((nb, N, nu) + S, dtype),
+                jax.ShapeDtypeStruct((nb, 4) + S, dtype),
+            ),
+            out_specs=(
+                pl.BlockSpec((None, N + 1, nx) + S,
+                             lambda b: (b, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, N, nu) + S, lambda b: (b, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 4) + S, lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N, nu, nz) + S, dtype),   # feedback gains K
+                pltpu.VMEM((N, nu) + S, dtype),       # feedforward kff
+                pltpu.VMEM((N + 1, nx) + S, dtype),   # step direction dX
+                pltpu.VMEM((N, nu) + S, dtype),       # step direction dU
+                pltpu.VMEM((N + 1, nx + 2 * nu) + S, dtype),  # gradients
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20,
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(*ins)
 
     X = _from_tiles(Xl, B)
     U = _from_tiles(Ul, B)

@@ -210,3 +210,26 @@ def test_fused_warm_runtime():
     assert p3.status == 0, (p3.status, p3)
     assert np.max(np.abs(p2.U - p1.U)) < 1.0
     assert np.all(np.abs(p3.U) <= 8.0 + 1e-5)
+
+
+def test_fused_warm_artifact_export(tmp_path):
+    """warm_solver='fused': the generator exports a TPU-only one-launch
+    warm artifact (<name>_fusedwarm.mpcx) alongside the adaptive program;
+    on this CPU backend the runtime skips it (no Mosaic lowering) and
+    falls back to the fixed/adaptive program, so loading still works."""
+    from mahi_mpc_tpu.runtime.generate import FUSED_SUFFIX, generate_model
+
+    mp = _pendulum_params("fused_art")
+    opts = SolverOptions(tol=1e-4, max_iter=40, warm_solver="fused",
+                         fixed_warm_iters=3)
+    generate_model(mp, make_dynamics("pendulum"), tmp_path, opts)
+    assert (tmp_path / f"{mp.name}{FUSED_SUFFIX}").is_file()
+    assert (tmp_path / f"{mp.name}_warm.mpcx").is_file()
+
+    mc = ModelControl("fused_art", directory=tmp_path, opts=opts)
+    # CPU backend: fused artifact skipped, fixed warm program loaded.
+    assert mc._warm_fn is not None
+    traj = _sin_traj(mp, 0.0)
+    p1 = mc.calc_u(0.0, [0.3, 0.0], [0.0], traj)
+    p2 = mc.calc_u(0.002, [0.3, 0.01], [0.0], traj)
+    assert p2.status in (0, 1) and np.all(np.isfinite(p2.U))
