@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="mahi_arm")
+    ap.add_argument("--warm-solver", default="auto",
+                    choices=["auto", "fused"],
+                    help="'fused' serves warm steps from the one-launch "
+                         "Pallas SQP kernel (solver/fused.py, round 4)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -53,7 +57,8 @@ def main():
         dynamics_name=args.model)
     svc = BatchModelControl(
         mp, batch=args.batch, dynamics=dyn,
-        opts=SolverOptions(tol=1e-4, max_iter=12),
+        opts=SolverOptions(tol=1e-4, max_iter=12,
+                           warm_solver=args.warm_solver),
         Q=[10.0] * nq + [1.0] * nq, R=[0.1] * dyn.nu, Rm=[0.01] * dyn.nu)
 
     rng = np.random.default_rng(0)

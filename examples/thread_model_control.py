@@ -57,12 +57,20 @@ def main():
     # Reference defaults Q=[10,1,5,5], R=[5,5] (thread_model_control_example.cpp:24-25)
     ap.add_argument("-q", type=float, nargs="*", default=None)
     ap.add_argument("-r", type=float, nargs="*", default=None)
+    ap.add_argument("--warm-solver", default="auto",
+                    choices=["auto", "fused"],
+                    help="'fused' serves warm re-solves from the one-launch "
+                         "Pallas SQP kernel (solver/fused.py, round 4)")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu)")
     args = ap.parse_args()
 
     mc = ModelControl(args.name, directory=args.dir, Q=args.q, R=args.r,
-                      Rm=None, opts=SolverOptions(tol=1e-4, max_iter=40))
+                      Rm=None, opts=SolverOptions(tol=1e-4, max_iter=40,
+                                                  warm_solver=args.warm_solver,
+                                                  fixed_warm_iters=3 if
+                                                  args.warm_solver == "fused"
+                                                  else 0))
     mp = mc.params
     print(f"loaded '{mp.name}': nx={mp.num_x}, nu={mp.num_u}, N={mp.num_shooting_nodes}")
     if args.q is None:

@@ -70,6 +70,21 @@ def mtm(A, B):
              for j in range(len(B[0]))] for i in range(len(A[0]))]
 
 
+def mtm_sym(A, B):
+    """A' @ B when the result is known symmetric (B = M A with M = M'):
+    computes the upper triangle only and mirrors — ~2x fewer dot products
+    for square results."""
+    n = len(A)
+    m = len(A[0])
+    C = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            C[i][j] = edot([A[t][i] for t in range(n)],
+                           [B[t][j] for t in range(n)])
+            C[j][i] = C[i][j]
+    return C
+
+
 def mv(A, v):
     return [edot(row, v) for row in A]
 

@@ -74,7 +74,8 @@ SUB, LANES = 8, 128    # default tile: 1024 instances per grid step
 # ---------------------------------------------------------------------------
 
 from ..ops.elem import (eadd as _add, esub as _sub, emul as _mul,
-                        edot as _dot, mm as _mm, mtm as _mtm, mv as _emv,
+                        edot as _dot, mm as _mm, mtm as _mtm,
+                        mtm_sym as _mtm_sym, mv as _emv,
                         madd as _madd, msym as _msym, chol as _chol,
                         cho_solve_rows as _cho_solve_rows,
                         cho_solve_vec as _cho_solve_vec)
@@ -112,10 +113,12 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
     fan = tuple(float(a) for a in ls_fan)
     T = len(fan)
 
+    n_store = nq if fast2 else nx
+
     def kernel(X0_r, U0_r, xdes_r, q_r, r_r, rm_r, uprev_r,
                umin_r, umax_r, xmin_r, xmax_r, qf_r, xfdes_r, mu_r,
                X_r, U_r, stats_r,
-               K_s, kff_s, dX_s, dU_s, G_s):
+               K_s, kff_s, dX_s, dU_s, G_s, J_s, ck_s):
         dtype = X0_r.dtype
 
         def v(e):
@@ -225,6 +228,9 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                     for j in range(nu):
                         Bm[nq + i][j] = dt * Ju[i, j]
                 val = [_add(xl[i], dt * fval[i]) for i in range(nx)]
+                Jrows = [[dt * Jx[i, j] for j in range(nx)]
+                         + [dt * Ju[i, j] for j in range(nu)]
+                         for i in range(nq)]
             else:
                 val_a, pull = jax.vjp(step_fn, xa, ua)
                 ii = jax.lax.broadcasted_iota(jnp.int32, (nx, nx) + S, 0)
@@ -234,8 +240,9 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                 A = [[Jx[i, j] for j in range(nx)] for i in range(nx)]
                 Bm = [[Ju[i, j] for j in range(nu)] for i in range(nx)]
                 val = [val_a[i] for i in range(nx)]
+                Jrows = [A[i] + Bm[i] for i in range(nx)]
             ck = [_sub(val[i], xn1[i]) for i in range(nx)]
-            return A, Bm, ck, val
+            return A, Bm, ck, val, Jrows
 
         def stage_grads(k, xl, ul, ukm1, xdes_prev):
             """QP gradient/diagonal pieces at stage k (stage_qp.build_stage_qp
@@ -328,7 +335,15 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                 xdes_prev = rd(xdes_r, jnp.maximum(k - 1, 0), nx)
                 xdes_k = rd(xdes_r, k, nx)
 
-                A, Bm, ck, val = linearize(xl, ul, xn1)
+                A, Bm, ck, val, Jrows = linearize(xl, ul, xn1)
+                # Persist the scaled Jacobian rows + defects: the forward
+                # rollout then needs NO dynamics evaluation at all (the
+                # stored rows ARE the linearized step), removing a primal
+                # + jvp dynamics pass per stage per iteration.
+                J_s[pl.ds(k, 1)] = jnp.stack(
+                    [jnp.stack([v(e_) for e_ in row], 0)
+                     for row in Jrows], 0)[None]
+                wr(ck_s, k, ck)
                 gzx, gzv, gu, Dx, Du, du, e, tk = stage_grads(
                     k, xl, ul, ukm1, xdes_prev)
                 wr(G_s, k, gzx + gzv + gu)
@@ -354,7 +369,7 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                 PxxB = _mm(Pxx, Bm)                       # (nx, nu)
                 M1 = _madd(PxxB, Pxv)                     # Pxx B + Pxv
                 PxxA = _mm(Pxx, A)
-                Qxx = _mtm(A, PxxA)                       # A' Pxx A
+                Qxx = _mtm_sym(A, PxxA)     # A' Pxx A (symmetric: Pxx=Pxx')
                 for i_ in range(nx):
                     Qxx[i_][i_] = _add(Qxx[i_][i_], Dx[i_])
                 Qxu = _mtm(A, M1)                         # (nx, nu)
@@ -440,14 +455,23 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                     ddir = _add(ddir, _mul(G[nx + a], dv[a]))
                     ddir = _add(ddir, _mul(G[nx + nu + a], du[a]))
 
-                xl = rd(X_r, k, nx)
                 ul = rd(U_r, k, nu)
                 xn1 = rd(X_r, k + 1, nx)
-                dua = pack(du)
-                dxa = pack(dx)
-                val, dval = jax.jvp(step_fn, (pack(xl), pack(ul)),
-                                    (dxa, dua))
-                dx_n = [val[i] + dval[i] - xn1[i] for i in range(nx)]
+                Jb = J_s[pl.ds(k, 1)][0]                 # (n_store, nz, S)
+                ckl = rd(ck_s, k, nx)
+                dzin = dx + du                            # [dx ; du]
+                if fast2:
+                    # dx_next = A dx + B du + c with the analytic q rows
+                    # (A_q = [I, dt I], B_q = 0) and the stored dt*Jacc
+                    # rows for the accelerations.
+                    dx_n = [dx[i] + dt * dx[nq + i] + ckl[i]
+                            for i in range(nq)]
+                    dx_n += [_add(dx[nq + i],
+                                  _dot([Jb[i, j] for j in range(nz)], dzin))
+                             + ckl[nq + i] for i in range(nq)]
+                else:
+                    dx_n = [v(_dot([Jb[i, j] for j in range(nz)], dzin))
+                            + ckl[i] for i in range(nx)]
 
                 amax = ftb(ul, du, umin, umax, ulo_fin, uhi_fin, amax)
                 amax = ftb(xn1, dx_n, xmin, xmax, xlo_fin, xhi_fin, amax)
@@ -667,6 +691,9 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
                             memory_space=pltpu.VMEM)
 
     S = (sub, lanes)
+    nq = prob.dynamics.nq
+    fast2 = (nq is not None and 2 * nq == nx and prob.integrator == "euler")
+    n_store = nq if fast2 else nx
     kernel = _make_kernel(prob, opts, n_iter, ls_fan, tile)
     # Trace the kernel with x64 disabled: under jax_enable_x64 python-float
     # literals are weak float64, and the f64->f32 demotes they force have
@@ -697,6 +724,8 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
                 pltpu.VMEM((N + 1, nx) + S, dtype),   # step direction dX
                 pltpu.VMEM((N, nu) + S, dtype),       # step direction dU
                 pltpu.VMEM((N + 1, nx + 2 * nu) + S, dtype),  # gradients
+                pltpu.VMEM((N, n_store, nz) + S, dtype),  # Jacobian rows
+                pltpu.VMEM((N, nx) + S, dtype),       # stage defects
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20,
