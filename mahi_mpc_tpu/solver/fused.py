@@ -112,6 +112,7 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
     tau = lc.FTB_TAU
     fan = tuple(float(a) for a in ls_fan)
     T = len(fan)
+    n_pin = int(opts.num_control_inputs_saved)
 
     n_store = nq if fast2 else nx
 
@@ -412,6 +413,34 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                         for i_ in range(nx)]
                 pv_n = [_sub(gzv[a], _mul(r2[a], kff[a])) for a in range(nu)]
 
+                if n_pin > 0:
+                    # Head-control pinning (reference
+                    # ``m_num_control_inputs_saved``, a no-op there —
+                    # ``ModelControl.cpp:165-171``; working here as in
+                    # stage_qp.build_stage_qp): pinned stages have Bz = 0,
+                    # Hzu = 0, gu = 0, Huu = I, which collapses to K = 0,
+                    # kff = 0 and the unpinned cost-to-go P = Qzz =
+                    # [[Qxx, 0], [0, 2R]], p = [qz_x ; gzv].  Selected at
+                    # runtime on the stage index; zero instructions when
+                    # the option is off (this branch is trace-time).
+                    pin = k < n_pin
+                    z_ = jnp.zeros(S, dtype)
+                    sel = lambda a_, b_: jnp.where(pin, v(a_), v(b_))
+                    Kx = [[sel(0.0, Kx[a][j]) for j in range(nx)]
+                          for a in range(nu)]
+                    Kv = [[sel(0.0, Kv[a][b]) for b in range(nu)]
+                          for a in range(nu)]
+                    kff = [sel(0.0, kff[a]) for a in range(nu)]
+                    Pxx_n = [[sel(Qxx[i_][j_], Pxx_n[i_][j_])
+                              for j_ in range(nx)] for i_ in range(nx)]
+                    Pxv_n = [[sel(0.0, Pxv_n[i_][a]) for a in range(nu)]
+                             for i_ in range(nx)]
+                    Pvv_n = [[sel(r2[a] if a == b else 0.0, Pvv_n[a][b])
+                              for b in range(nu)] for a in range(nu)]
+                    px_n = [sel(qz_x[i_], px_n[i_]) for i_ in range(nx)]
+                    pv_n = [sel(gzv[a], pv_n[a]) for a in range(nu)]
+                    del z_
+
                 wr(kff_s, k, kff)
                 Krows = [[v(_e) for _e in (Kx[a] + Kv[a])] for a in range(nu)]
                 K_s[pl.ds(k, 1)] = jnp.stack(
@@ -625,9 +654,6 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
     assert not prob.is_linear, "LTV mode uses solve_batch_lanes (no dynamics)"
     assert prob.dynamics.supports_lanes, (
         f"dynamics {prob.dynamics.name!r} is not lanes-polymorphic")
-    assert opts.num_control_inputs_saved == 0, (
-        "head-control pinning is not supported by the fused kernel; use "
-        "solve_batch_lanes")
     nx, nu, N = prob.nx, prob.nu, prob.N
     nz = nx + nu
     B = p.x0.shape[0]

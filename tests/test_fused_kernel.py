@@ -176,3 +176,62 @@ def test_fused_generalizes_across_models(model, ulim):
                            tile=TILE, interpret=True)
     np.testing.assert_allclose(np.asarray(rf.U), np.asarray(rw.U), atol=2e-5)
     assert float(jnp.mean((rf.status == 0).astype(jnp.float32))) == 1.0
+
+
+@pytest.mark.slow
+def test_fused_generic_path_rk4():
+    """The generic linearization path (vjp through the full integrator
+    step, n_store = nx) — exercised with RK4, where the second-order fast
+    path does not apply.  Pinned against the lanes solver."""
+    dyn = make_dynamics("mahi_arm")
+    mp = ModelParameters("t_rk4", num_x=dyn.nx, num_u=dyn.nu,
+                         step_size=0.005, num_shooting_nodes=8,
+                         u_min=[-25.0] * dyn.nu, u_max=[25.0] * dyn.nu,
+                         dynamics_name="mahi_arm", integrator="rk4")
+    prob = make_problem(mp, dyn)
+    assert prob.integrator == "rk4"
+    opts = SolverOptions(tol=1e-4, max_iter=40, dtype="float32")
+    B, dtype = 8, jnp.float32
+    rng = np.random.default_rng(1)
+    p = default_params(mp, dtype=dtype)
+    p = p._replace(q=jnp.asarray([10.0] * 4 + [1.0] * 4, dtype),
+                   r=jnp.full((dyn.nu,), 0.1, dtype),
+                   rm=jnp.full((dyn.nu,), 0.01, dtype))
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    pb = pb._replace(
+        x0=jnp.asarray(0.2 * rng.standard_normal((B, dyn.nx)), dtype),
+        x_des=jnp.asarray(0.1 * rng.standard_normal((B, prob.N, dyn.nx)),
+                          dtype))
+    r0 = solve_batch_lanes(prob, pb, None, None, opts,
+                           mu0=jnp.asarray(opts.mu_init, dtype))
+    pb2 = pb._replace(x0=pb.x0 + 0.01)
+    mu_w = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+    rw = solve_batch_lanes(prob, pb2, r0.X, r0.U, opts, mu0=mu_w)
+    rf = solve_batch_fused(prob, pb2, r0.X, r0.U, opts, mu0=mu_w, n_iter=3,
+                           tile=TILE, interpret=True)
+    np.testing.assert_allclose(np.asarray(rf.U), np.asarray(rw.U), atol=2e-5)
+    assert bool(jnp.all(rf.status == 0))
+
+
+@pytest.mark.slow
+def test_fused_head_control_pinning():
+    """num_control_inputs_saved > 0 through the fused kernel: the first k
+    controls stay exactly at their warm-start values (du = 0), matching
+    the lanes solver (reference m_num_control_inputs_saved, a no-op there
+    — ModelControl.cpp:165-171 — working here)."""
+    prob, pb, opts0 = _setup()
+    import dataclasses
+    opts = dataclasses.replace(opts0, num_control_inputs_saved=2)
+    dtype = jnp.float32
+    res0 = solve_batch_lanes(prob, pb, None, None, opts0,
+                             mu0=jnp.asarray(opts0.mu_init, dtype))
+    pb2 = pb._replace(x0=pb.x0 + 0.01)
+    mu_w = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
+    rw = solve_batch_lanes(prob, pb2, res0.X, res0.U, opts, mu0=mu_w)
+    rf = solve_batch_fused(prob, pb2, res0.X, res0.U, opts, mu0=mu_w,
+                           n_iter=3, tile=TILE, interpret=True)
+    # pinned controls unchanged from the warm start, exactly
+    np.testing.assert_array_equal(np.asarray(rf.U[:, :2]),
+                                  np.asarray(res0.U[:, :2]))
+    np.testing.assert_allclose(np.asarray(rf.U), np.asarray(rw.U), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rf.X), np.asarray(rw.X), atol=2e-5)
