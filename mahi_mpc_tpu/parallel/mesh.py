@@ -216,3 +216,37 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
         "mean_iters": float(mean_iters),
         "converged_frac": float(conv),
     }
+
+
+def make_fused_sharded_solver(prob: ShootingProblem, mesh: Mesh,
+                              opts: SolverOptions = SolverOptions(),
+                              n_iter: int = 3):
+    """Multi-chip fused warm solver: each device runs the one-launch Pallas
+    SQP kernel (solver/fused.py) on its scenario-batch shard via
+    ``shard_map`` — XLA cannot partition a Mosaic custom call itself, and
+    none is needed: tiles are fully independent, so the sharded program has
+    zero solve-time collectives (the same property as the lanes path).
+
+    Returns ``fn(p_batch, X0, U0, mu0) -> SolveResult`` with every leaf
+    batch-sharded over the mesh's ``batch`` axis.  The global batch must be
+    divisible by the batch axis; each local shard pads itself to whole
+    kernel tiles internally.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..solver.fused import solve_batch_fused
+
+    spec = P("batch")
+    p_specs = jax.tree.map(lambda _: spec, _params_struct(prob))
+    out_specs = jax.tree.map(lambda _: spec, _result_struct())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(p_specs, spec, spec, P()),
+             out_specs=out_specs, check_rep=False)
+    def local(p_b, X0, U0, mu0):
+        return solve_batch_fused(prob, p_b, X0, U0, opts, mu0=mu0,
+                                 n_iter=n_iter)
+
+    return jax.jit(local)
