@@ -13,9 +13,12 @@ few ms per warm IPOPT solve of the same problem on a desktop CPU — we take
 Structure:
   * batch ladder (smallest first): a headline number exists as soon as the
     smallest batch has run; bigger batches only improve it;
-  * cold solves use the adaptive lanes solver; the steady-state warm
-    re-solves — the headline — use the fused Pallas SQP kernel
-    (solver/fused.py, round-4: one launch per solve);
+  * cold seeding runs the fused kernel's ADAPTIVE mode (round 5): the
+    whole barrier continuation (mu_init -> floor) in one Pallas launch —
+    ~50x less device time than the lanes cold path it replaces
+    (benchmarks/results_fused.json cold rows); the steady-state warm
+    re-solves — the headline — use the fixed-iteration fused mode
+    (round-4: one launch per solve);
   * **on-TPU parity preamble** at the smallest batch: one warm round
     through the fused kernel vs the adaptive XLA solver from the same
     state, max |dU| asserted small — a silent Pallas regression cannot
@@ -99,8 +102,11 @@ def main():
     mu_warm = jnp.asarray(opts.warm_mu_factor * opts.tol, dtype)
     best = None
 
+    # Cold seeding via the adaptive fused kernel freed enough wall budget
+    # (the lanes cold at 65536 alone took ~2 min) to reach batch 131072 —
+    # the measured throughput peak (results_fused.json).
     ladder = [int(b) for b in os.environ.get(
-        "BENCH_BATCHES", "256,4096,16384,65536").split(",")]
+        "BENCH_BATCHES", "256,4096,16384,65536,131072").split(",")]
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "10"))
     n_iter = int(os.environ.get("BENCH_FUSED_ITERS", "3"))
 
@@ -113,6 +119,8 @@ def main():
                 prob, pp, xx, uu, opts_cold, mu0=mu))
             fused_jit = jax.jit(lambda pp, xx, uu: solve_batch_fused(
                 prob, pp, xx, uu, opts, mu0=mu_warm, n_iter=n_iter))
+            cold_jit = jax.jit(lambda pp, xx, uu: solve_batch_fused(
+                prob, pp, xx, uu, opts_cold, mu0=mu_cold, adaptive=True))
             p_batch = params_for(batch)
             X0 = jnp.zeros((batch, prob.N + 1, prob.nx), dtype)
             U0 = jnp.zeros((batch, prob.N, prob.nu), dtype)
@@ -134,12 +142,14 @@ def main():
             # (a) chains each solve's inputs on the previous solve's
             # outputs and (b) ends with a scalar device->host pull.
             tc = time.perf_counter()
-            res = lanes_jit(p_batch, X0, U0, mu_cold)
+            res = cold_jit(p_batch, X0, U0)
             host = jax.device_get((res.iters, res.status))
             cold_s = time.perf_counter() - tc
             conv_cold = float(np.mean(host[1] == 0))
             emit(phase="cold", batch=batch, cold_s=round(cold_s, 1),
-                 converged_frac=round(conv_cold, 4))
+                 converged_frac=round(conv_cold, 4),
+                 mean_iters=round(float(np.mean(host[0])), 2),
+                 solver="fused_adaptive")
 
             tc = time.perf_counter()
             rf = fused_jit(p_batch._replace(x0=p_batch.x0 + perts[0],

@@ -93,7 +93,18 @@ def make_sharded_solver(prob: ShootingProblem, mesh: Mesh,
     ``batch`` axis.  Warm-start buffers are donated so the receding-horizon
     loop updates plans in place on-device (SURVEY.md §5 checkpoint/resume:
     warm-start buffers are device arrays donated between solves).
+
+    Solver selection follows ``SolverOptions.warm_solver`` resolution
+    (round-4 VERDICT item 1): on TPU, "auto" serves every solve — cold and
+    warm, the mu0 argument decides — through the one-launch fused Pallas
+    kernel's adaptive mode via ``make_fused_sharded_solver``; otherwise
+    the lanes (or vmap) program below.
     """
+    from ..solver.select import resolve_warm_solver
+    if resolve_warm_solver(opts, prob) == "fused":
+        return make_fused_sharded_solver(prob, mesh, opts, adaptive=True,
+                                         pad_batch=True)
+
     spec = batch_spec(mesh)
 
     # LTV mode is lanes-capable (batched affine einsums, solver/batched.py
@@ -157,7 +168,14 @@ def _result_struct():
 def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
                    mesh: Mesh, opts: SolverOptions = SolverOptions(),
                    iters: int = 3) -> dict:
-    """Measure batched solves/s on this mesh (the BASELINE.json metric)."""
+    """Measure batched solves/s on this mesh (the BASELINE.json metric).
+
+    Round-4 VERDICT items 3/4: this times whatever ``make_sharded_solver``
+    resolves to — on TPU with default options that is the fused adaptive
+    kernel, the production path — and the timed reps run the *bench.py
+    warm regime* (per-instance state perturbations + a phase-shifting
+    sinusoid reference), not an unperturbed re-solve whose mean_iters
+    collapses to 1."""
     import time
 
     n = jax.tree.leaves(p_batch)[0].shape[0]
@@ -165,38 +183,64 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
     X0 = jnp.zeros((n, prob.N + 1, prob.nx), dtype)
     U0 = jnp.zeros((n, prob.N, prob.nu), dtype)
     fn = make_sharded_solver(prob, mesh, opts, donate_warm_start=False)
+    spec = batch_spec(mesh)
+
+    def place(a):
+        a = np.asarray(a, dtype)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                a.shape, spec, lambda idx: a[idx])
+        return jax.device_put(jnp.asarray(a), spec)
+
     p_batch = shard_params(p_batch, mesh)
+    n_p = p_batch.x0.shape[0]   # shard_params may have padded the batch
+
+    # Warm-regime schedule (same definition as bench.py): pregenerated
+    # per-instance/per-coordinate x0 noise and a shifting sinusoid
+    # reference, placed with the batch sharding.
+    rng = np.random.default_rng(0)
+    n_sched = max(iters, 3) + 3
+    perts = [place(0.01 * rng.standard_normal((n_p, prob.nx)))
+             for _ in range(n_sched)]
+    tgrid = np.arange(1, prob.N + 1) * prob.dt
+    ph = rng.uniform(0, 2 * np.pi, (n_p, 1, 1))
+    amp = 0.2 * rng.standard_normal((n_p, 1, prob.nx))
+    refs = [place(amp * np.sin(
+        2 * np.pi * (tgrid[None, :, None] + r * prob.dt) + ph))
+            for r in range(n_sched)]
     if jax.process_count() > 1:
-        spec = batch_spec(mesh)
         Zx = np.zeros(X0.shape, dtype)
         Zu = np.zeros(U0.shape, dtype)
         X0 = jax.make_array_from_callback(Zx.shape, spec, lambda idx: Zx[idx])
         U0 = jax.make_array_from_callback(Zu.shape, spec, lambda idx: Zu[idx])
     res = fn(p_batch, X0, U0)
     jax.block_until_ready(res)  # compile + cold seed
-    # The BASELINE metric is the steady-state warm regime (every other
-    # harness measures it the same way): timed reps re-solve from the warm
-    # start at the warm barrier level.
     mu_warm = jnp.asarray(
         max(opts.warm_mu_factor * opts.tol, opts.mu_min), dtype)
     # Honest timing on remote-dispatch backends (axon): block_until_ready
     # returns at enqueue, so chain each rep's input on the previous rep's
-    # output (zero-valued perturbation = pure data dependency) and end the
-    # timed region with a replicated scalar device->host pull, which is
-    # addressable from every process under a multi-host launch.
+    # output and end the timed region with a replicated scalar
+    # device->host pull, which is addressable from every process under a
+    # multi-host launch.
     rep = NamedSharding(mesh, P())
     pull = jax.jit(lambda u: jnp.sum(u), out_shardings=rep)
-    # Warm the warm-mu path twice: the first call after the cold seed can
+
+    def step_i(i, r):
+        pp = p_batch._replace(x0=p_batch.x0 + perts[i % n_sched],
+                              x_des=refs[i % n_sched])
+        return fn(pp, r.X, r.U, mu_warm)
+
+    # Warm the warm-mu path: the first call after the cold seed can
     # re-trace (the warm-start operands change committed layout/sharding
     # from the zero-filled seeds to solver outputs), and a ~10 s recompile
     # inside the timed region would swamp a ~40 ms solve (measured).
-    for _ in range(3):
-        res = fn(p_batch, res.X, res.U, mu_warm)
+    for i in range(3):
+        res = step_i(i, res)
         jax.block_until_ready(res)
         float(pull(res.U))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = fn(p_batch, res.X, res.U, mu_warm)
+    for i in range(iters):
+        res = step_i(i, res)
     float(pull(res.U))
     dt = (time.perf_counter() - t0) / iters
     # Replicated reductions so the scalars are addressable from every
@@ -220,17 +264,25 @@ def scaling_report(prob: ShootingProblem, p_batch: MPCParams,
 
 def make_fused_sharded_solver(prob: ShootingProblem, mesh: Mesh,
                               opts: SolverOptions = SolverOptions(),
-                              n_iter: int = 3):
-    """Multi-chip fused warm solver: each device runs the one-launch Pallas
+                              n_iter: Optional[int] = None,
+                              adaptive: bool = False,
+                              pad_batch: bool = False):
+    """Multi-chip fused solver: each device runs the one-launch Pallas
     SQP kernel (solver/fused.py) on its scenario-batch shard via
     ``shard_map`` — XLA cannot partition a Mosaic custom call itself, and
     none is needed: tiles are fully independent, so the sharded program has
     zero solve-time collectives (the same property as the lanes path).
 
+    ``adaptive=True`` runs the in-kernel adaptive SQP (to tolerance,
+    per-tile early exit) — valid for cold and warm solves alike; the
+    default fixed mode runs exactly ``n_iter`` (default 3) iterations (the
+    round-4 warm latency shape).
+
     Returns ``fn(p_batch, X0, U0, mu0) -> SolveResult`` with every leaf
     batch-sharded over the mesh's ``batch`` axis.  The global batch must be
-    divisible by the batch axis; each local shard pads itself to whole
-    kernel tiles internally.
+    divisible by the batch axis (``pad_batch=True`` edge-pads
+    single-process callers, matching ``make_sharded_solver``); each local
+    shard pads itself to whole kernel tiles internally.
     """
     from functools import partial
 
@@ -247,6 +299,27 @@ def make_fused_sharded_solver(prob: ShootingProblem, mesh: Mesh,
              out_specs=out_specs, check_rep=False)
     def local(p_b, X0, U0, mu0):
         return solve_batch_fused(prob, p_b, X0, U0, opts, mu0=mu0,
-                                 n_iter=n_iter)
+                                 n_iter=n_iter, adaptive=adaptive)
 
-    return jax.jit(local)
+    jitted = jax.jit(local)
+    if not pad_batch:
+        return jitted
+    nb = mesh.shape["batch"]
+
+    def run(p_batch: MPCParams, X0: Array, U0: Array,
+            mu0: Array = None) -> SolveResult:
+        if mu0 is None:
+            mu0 = jnp.asarray(opts.mu_init, jnp.dtype(opts.dtype))
+        b = X0.shape[0]
+        if b % nb:
+            assert jax.process_count() == 1, (
+                f"multi-process batch {b} must be divisible by the mesh "
+                f"batch axis {nb}; pad on the host before sharding")
+            p_batch = jax.tree.map(lambda a: _pad_to_multiple(a, nb), p_batch)
+            X0 = _pad_to_multiple(X0, nb)
+            U0 = _pad_to_multiple(U0, nb)
+            res = jitted(p_batch, X0, U0, mu0)
+            return jax.tree.map(lambda a: a[:b], res)
+        return jitted(p_batch, X0, U0, mu0)
+
+    return run

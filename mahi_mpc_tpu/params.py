@@ -214,13 +214,16 @@ class SolverOptions:
     # 3 reproduces the steady-state warm solve on the benchmark configs
     # (tests/test_fixed.py); cold solves always use the adaptive path.
     fixed_warm_iters: int = 0
-    # Which program serves warm re-solves in the runtime (ModelControl):
-    # "auto" = solve_fixed when fixed_warm_iters > 0, else the adaptive
-    # solver (the pre-round-4 behavior); "fused" = the one-launch Pallas
-    # SQP kernel (solver/fused.py) at batch 1 — the measured batch-1 warm
-    # p50 drops ~25 ms -> ~5 ms on TPU v5e because the solve is a single
-    # kernel launch instead of ~10^4 serially-issued elementwise ops
-    # (docs/PERFORMANCE.md §8; round-3 VERDICT item 5).
+    # Which program serves (warm) solves in the runtime and batch service
+    # (resolution logic: solver/select.py).  "auto" = the one-launch fused
+    # Pallas SQP kernel (solver/fused.py) whenever the problem is fusable
+    # on TPU — the measured-best path at every batch size (2.5x the lanes
+    # solver at batch 1024 up to 50x at 65536, benchmarks/
+    # results_fused.json; batch-1 warm device time 3.35 ms -> 2.92 ms
+    # chained, results_tpu.json 4_batch1_*) — else solve_fixed when
+    # fixed_warm_iters > 0, else the adaptive solver.  "fused" forces the
+    # kernel (with the same fallback when the problem cannot be fused at
+    # all); "fixed"/"adaptive" force the XLA programs.
     warm_solver: str = "auto"
     # Pin the first k controls of each solve to their warm-start values
     # (reference ``m_num_control_inputs_saved``: intended at

@@ -183,15 +183,22 @@ class ModelControl:
             self._warm_fn = (jax.jit(jax.export.deserialize(
                 warm_path.read_bytes()).call)
                 if warm_path.is_file() else None)
+            self.warm_solver = ("fixed" if self._warm_fn is not None
+                                else "adaptive")
             # Fused one-launch warm artifact (round 4): TPU-only (the
             # Mosaic custom call has no CPU lowering), preferred over the
-            # fixed program when present and the backend matches.
+            # fixed program when present, the backend matches, AND the
+            # current options ask for it — a stale artifact from an earlier
+            # generate must not silently switch warm-solve semantics
+            # (round-4 ADVICE).
             from .generate import FUSED_SUFFIX
             fused_path = art.with_name(
                 art.name[: -len(ARTIFACT_SUFFIX)] + FUSED_SUFFIX)
-            if fused_path.is_file() and jax.default_backend() == "tpu":
+            if (fused_path.is_file() and jax.default_backend() == "tpu"
+                    and self.opts.warm_solver in ("auto", "fused")):
                 self._warm_fn = jax.jit(jax.export.deserialize(
                     fused_path.read_bytes()).call)
+                self.warm_solver = "fused"
             lin_path = art.with_name(
                 art.name[: -len(ARTIFACT_SUFFIX)] + LINEAR_SUFFIX)
             if lin_path.is_file():
@@ -218,22 +225,34 @@ class ModelControl:
 
             self._solve_fn = jax.jit(
                 lambda p, X0, U0, mu0: solve(prob, p, X0, U0, opts, mu0=mu0))
-            if opts.warm_solver == "fused":
+            # Warm-solver resolution (round-4 VERDICT item 1 + ADVICE): on
+            # TPU, "auto" serves warm re-solves through the one-launch
+            # fused kernel whenever the problem is fusable — including LTV
+            # mode (its exact affine step streams in; round-4 item 7) —
+            # and falls back to solve_fixed/adaptive otherwise instead of
+            # crashing mid-control-loop.
+            from ..solver.select import resolve_warm_solver
+            self.warm_solver = resolve_warm_solver(opts, prob)
+            if self.warm_solver == "fused":
                 # One-launch Pallas warm solve at batch 1 (round-4): pads
-                # the instance to a 1024-lane tile, but one kernel launch
-                # replaces the ~10^4 serially-issued ops that made batch-1
-                # latency 25 ms (docs/PERFORMANCE.md §8).
+                # the instance to a full tile, but one kernel launch
+                # replaces the ~10^4 serially-issued ops of the XLA
+                # programs (docs/PERFORMANCE.md §8).
                 from ..solver.fused import solve_batch_fused
-                k = opts.fixed_warm_iters or 3
+                k = opts.fixed_warm_iters
 
                 def _warm1(p, X0, U0, mu0):
                     pb = jax.tree.map(lambda a: a[None], p)
-                    res = solve_batch_fused(prob, pb, X0[None], U0[None],
-                                            opts, mu0=mu0, n_iter=k)
+                    if k > 0:
+                        res = solve_batch_fused(prob, pb, X0[None], U0[None],
+                                                opts, mu0=mu0, n_iter=k)
+                    else:
+                        res = solve_batch_fused(prob, pb, X0[None], U0[None],
+                                                opts, mu0=mu0, adaptive=True)
                     return jax.tree.map(lambda a: a[0], res)
 
                 self._warm_fn = jax.jit(_warm1)
-            elif opts.fixed_warm_iters > 0:
+            elif self.warm_solver == "fixed":
                 from ..solver.fixed import solve_fixed
                 k = opts.fixed_warm_iters
                 self._warm_fn = jax.jit(
