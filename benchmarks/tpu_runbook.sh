@@ -45,8 +45,21 @@ FUSED_BATCHES=131072 FUSED_ROUNDS=8 timeout 3600 python benchmarks/bench_fused.p
 #     BatchModelControl.step with the jitted relinearize)
 timeout 1800 python benchmarks/bench_ltv_service.py
 
+# 8c. Round-5 adaptive-kernel A/B campaign: cold continuation vs lanes,
+#     adaptive vs fixed warm, N=50/N=100 rows, LTV at 4096 (merges into
+#     benchmarks/results_fused.json)
+timeout 3000 python benchmarks/bench_round5.py
+
+# 8d. On-TPU fused test tier: the parity pins at the production (8,128)
+#     tile with Mosaic lowering (round-4 VERDICT item 8) — a recorded
+#     pass, not just the bench preamble sentinel
+timeout 3600 python -m pytest tests_tpu/ -q | tee benchmarks/results_tpu_tests.txt
+
 # 9. Scaling-efficiency artifact (1-chip row here; on a pod this records
-#    the real multi-chip rows)
+#    the real multi-chip rows).  scaling_report now times whatever
+#    make_sharded_solver resolves to — the fused adaptive kernel on TPU —
+#    under the bench.py warm regime, so the pod one-liner records the
+#    production path (round-4 VERDICT item 4).
 timeout 1800 python benchmarks/bench_scaling.py
 
 # 10. Regenerate the published section strictly from the artifacts above

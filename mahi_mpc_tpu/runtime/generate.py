@@ -118,23 +118,32 @@ class ModelGenerator:
         (directory / f"{mp.name}{LINEAR_SUFFIX}").write_bytes(
             lin_exp.serialize())
 
-        if self.opts.warm_solver == "fused" and not mp.is_linear:
-            # One-launch fused Pallas warm program (round 4).  A Pallas
-            # kernel lowers to a tpu_custom_call whose Mosaic payload is
-            # hardware-specific, not a stability-guaranteed StableHLO op —
-            # jax.export requires the explicit safety-check opt-out, and
-            # the artifact is TPU-only (verified to round-trip and execute
-            # bit-identically on v5e).  The CPU fallback remains the
-            # adaptive artifact.
+        from ..solver.select import resolve_warm_solver
+        if resolve_warm_solver(self.opts, self.problem,
+                               backend="tpu") == "fused":
+            # One-launch fused Pallas warm program (round 4; round 5:
+            # "auto" resolves here too, and the program is the ADAPTIVE
+            # in-kernel SQP unless fixed_warm_iters pins the latency
+            # shape).  A Pallas kernel lowers to a tpu_custom_call whose
+            # Mosaic payload is hardware-specific, not a
+            # stability-guaranteed StableHLO op — jax.export requires the
+            # explicit safety-check opt-out, and the artifact is TPU-only
+            # (verified to round-trip and execute bit-identically on
+            # v5e).  The CPU fallback remains the adaptive artifact.
             from ..solver.fused import solve_batch_fused
             prob, opts = self.problem, self.opts
-            k = opts.fixed_warm_iters or 3
+            k = opts.fixed_warm_iters
 
             def fused_fn(p, X0, U0, mu0):
                 pb = jax.tree.map(lambda a: a[None], p)
-                res = solve_batch_fused(prob, pb, X0[None], U0[None], opts,
-                                        mu0=mu0, n_iter=k, tile=(8, 128),
-                                        interpret=False)
+                if k > 0:
+                    res = solve_batch_fused(prob, pb, X0[None], U0[None],
+                                            opts, mu0=mu0, n_iter=k,
+                                            tile=(8, 128), interpret=False)
+                else:
+                    res = solve_batch_fused(prob, pb, X0[None], U0[None],
+                                            opts, mu0=mu0, adaptive=True,
+                                            tile=(8, 128), interpret=False)
                 return jax.tree.map(lambda a: a[0], res)
 
             fused_exp = jax.export.export(

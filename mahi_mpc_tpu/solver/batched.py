@@ -322,7 +322,8 @@ def solve_batch_lanes(prob: ShootingProblem, p: MPCParams,
                 prob, X_, U_, p_, mu_, reg_, lin=(A_, B_, c_),
                 n_pin=opts.num_control_inputs_saved))(
             s.X, s.U, p, s.mu, s.reg, *lin)
-        backend = resolve_kkt_backend(opts.kkt_backend, batched=True)
+        backend = resolve_kkt_backend(opts.kkt_backend, batched=True,
+                                      dims=(N, nz, nu))
         if backend == "pallas":
             from .pallas_riccati import default_interpret, solve_lqr_pallas_batch
             sol = solve_lqr_pallas_batch(qp, interpret=default_interpret())

@@ -40,6 +40,28 @@ Array = jnp.ndarray
 
 LANES = 128
 
+# Mosaic double-buffers grid-varying blocks; vmem_limit_bytes is 64 MiB, so
+# one tile (pre-buffering, pre-padding) must stay under about a third.
+PALLAS_KKT_VMEM_BUDGET = 22 * 2 ** 20
+
+
+def pallas_kkt_vmem_bytes(N: int, nz: int, nu: int, itemsize: int = 4) -> int:
+    """Per-lane-tile VMEM footprint of the Riccati kernel (inputs + outputs
+    + K/kff scratch), used by the guard below and by ``kkt_backend="auto"``
+    resolution (a horizon past the budget routes to the scan instead of
+    erroring — round-5 fix)."""
+    per_tile_elems = (
+        N * (2 * nz * nz + 2 * nz * nu + nu * nu + 2 * nz + 2 * nu)  # inputs
+        + nz * nz + nz                                               # Hf, gf
+        + (N + 1) * nz + N * nu                                      # outputs
+        + N * nu * nz + N * nu)                                      # scratch
+    return per_tile_elems * LANES * itemsize
+
+
+def pallas_kkt_fits(N: int, nz: int, nu: int, itemsize: int = 4) -> bool:
+    return pallas_kkt_vmem_bytes(N, nz, nu, itemsize) \
+        <= PALLAS_KKT_VMEM_BUDGET
+
 
 # ---------------------------------------------------------------------------
 # Small-matrix ops on lanes layout: operands (a, b, L) with L = lane batch.
@@ -189,21 +211,12 @@ def solve_lqr_pallas_lanes(ins: tuple, interpret: bool = False
     # trace time and fail with a readable error instead of an opaque VMEM
     # exhaustion message from Mosaic (ADVICE r1).
     itemsize = jnp.dtype(dtype).itemsize
-    per_tile_elems = (
-        N * (2 * nz * nz + 2 * nz * nu + nu * nu + 2 * nz + 2 * nu)  # inputs
-        + nz * nz + nz                                               # Hf, gf
-        + (N + 1) * nz + N * nu                                      # outputs
-        + N * nu * nz + N * nu)                                      # scratch
-    vmem_bytes = per_tile_elems * LANES * itemsize
-    # Mosaic double-buffers grid-varying blocks; we set vmem_limit_bytes to
-    # 64 MiB below, so one tile (pre-buffering, pre-padding) must stay under
-    # about a third of that.
-    VMEM_BUDGET = 22 * 2 ** 20
-    if vmem_bytes > VMEM_BUDGET:
+    vmem_bytes = pallas_kkt_vmem_bytes(N, nz, nu, itemsize)
+    if vmem_bytes > PALLAS_KKT_VMEM_BUDGET:
         raise ValueError(
             f"pallas Riccati kernel needs ~{vmem_bytes / 2**20:.1f} MiB of "
             f"VMEM per lane tile (N={N}, nz={nz}, nu={nu}), over the "
-            f"~{VMEM_BUDGET / 2**20:.0f} MiB budget; use "
+            f"~{PALLAS_KKT_VMEM_BUDGET / 2**20:.0f} MiB budget; use "
             "kkt_backend='riccati' (scan) for this problem size")
 
     def spec(a):

@@ -163,16 +163,26 @@ def solve_lqr_dense(qp: StageQP) -> LQRSolution:
 _BACKENDS = {}
 
 
-def resolve_kkt_backend(backend: str, batched: bool = False) -> str:
+def resolve_kkt_backend(backend: str, batched: bool = False,
+                        dims=None) -> str:
     """Resolve ``'auto'`` to the data-chosen default (round-2 VERDICT item 1):
     the Pallas lanes kernel for *batched* solves on real TPU
     (``benchmarks/results_kkt.json``: 12.6x over the scan backend at batch
     8192, no losses at any batch >= 128), the sequential scan everywhere else
     (single-instance path, where pallas would pad one instance to a 128-lane
-    tile; CPU, where the kernel runs in the interpreter)."""
+    tile; CPU, where the kernel runs in the interpreter).
+
+    ``dims=(N, nz, nu)``: when given, auto also checks the kernel's VMEM
+    guard and routes horizons past the budget (N over ~90 at nz=12) to the
+    scan instead of letting the guard raise mid-trace (round-5 fix; the
+    long-horizon crossover numbers are in results_kkt_n512.json)."""
     if backend != "auto":
         return backend
     if batched and jax.default_backend() == "tpu":
+        if dims is not None:
+            from .pallas_riccati import pallas_kkt_fits
+            if not pallas_kkt_fits(*dims):
+                return "riccati"
         return "pallas"
     return "riccati"
 

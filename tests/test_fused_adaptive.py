@@ -239,3 +239,28 @@ def test_runtime_fused_ltv_no_crash():
     mc2.calc_u(0.0, [0.3, 0.0], [0.0], traj)
     plan_a = mc2.calc_u(0.01, [0.29, 0.0], [0.0], traj)
     np.testing.assert_allclose(plan_f.U, plan_a.U, atol=1e-3)
+
+
+def test_batch_service_resolution():
+    """BatchModelControl records its resolved warm solver; defaults on the
+    CPU test backend keep the pre-round-4 behavior (auto only goes fused
+    on TPU), and explicit 'fused' is honored."""
+    from mahi_mpc_tpu.runtime.batch_service import BatchModelControl
+    mp = ModelParameters("svc_t", num_x=8, num_u=4, step_size=0.002,
+                         num_shooting_nodes=8, u_min=[-20.0] * 4,
+                         u_max=[20.0] * 4, dynamics_name="mahi_arm")
+    svc = BatchModelControl(mp, batch=4, opts=SolverOptions())
+    assert svc.warm_solver == "adaptive"
+    svc_f = BatchModelControl(mp, batch=4,
+                              opts=SolverOptions(warm_solver="fused"))
+    assert svc_f.warm_solver == "fused"
+    assert svc_f._step_warm is not None
+
+
+def test_kkt_auto_resolution_vmem_aware():
+    """kkt_backend='auto' routes horizons past the pallas Riccati VMEM
+    budget to the scan instead of raising mid-trace (round-5 fix, found by
+    the N=100 lanes baseline in bench_round5.py)."""
+    from mahi_mpc_tpu.solver.pallas_riccati import pallas_kkt_fits
+    assert pallas_kkt_fits(25, 12, 4)
+    assert not pallas_kkt_fits(100, 12, 4)
