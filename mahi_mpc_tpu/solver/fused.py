@@ -821,6 +821,10 @@ def _from_tiles(a: Array, B: int) -> Array:
     return a.reshape((-1,) + a.shape[3:])[:B]
 
 
+from ..ops.precision import highest_precision
+
+
+@highest_precision
 def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
                       X0: Optional[Array] = None, U0: Optional[Array] = None,
                       opts: SolverOptions = SolverOptions(),
