@@ -949,7 +949,8 @@ def solve_batch_fused(prob: ShootingProblem, p: MPCParams,
         pltpu.VMEM((N + 1, nx) + S, dtype),   # step direction dX
         pltpu.VMEM((N, nu) + S, dtype),       # step direction dU
         pltpu.VMEM((N + 1, nx + 2 * nu) + S, dtype),  # gradients
-        pltpu.VMEM((N, max(n_store, 1), nz) + S, dtype),  # Jacobian rows
+        # Jacobian rows (LTV never touches this ref; keep it minimal)
+        pltpu.VMEM(((N, n_store, nz) if n_store else (1, 1, 1)) + S, dtype),
         pltpu.VMEM((N, nx) + S, dtype),       # stage defects
     ]
     # Trace the kernel with x64 disabled: under jax_enable_x64 python-float
