@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="mahi_arm")
     ap.add_argument("--warm-solver", default="auto",
-                    choices=["auto", "fused"],
+                    choices=["auto", "fused", "fixed", "adaptive"],
                     help="'fused' serves warm steps from the one-launch "
                          "Pallas SQP kernel (solver/fused.py, round 4)")
     ap.add_argument("--platform", default=None)

@@ -58,7 +58,7 @@ def main():
     ap.add_argument("-q", type=float, nargs="*", default=None)
     ap.add_argument("-r", type=float, nargs="*", default=None)
     ap.add_argument("--warm-solver", default="auto",
-                    choices=["auto", "fused"],
+                    choices=["auto", "fused", "fixed", "adaptive"],
                     help="'fused' serves warm re-solves from the one-launch "
                          "Pallas SQP kernel (solver/fused.py, round 4)")
     ap.add_argument("--platform", default=None,
@@ -69,8 +69,8 @@ def main():
                       Rm=None, opts=SolverOptions(tol=1e-4, max_iter=40,
                                                   warm_solver=args.warm_solver,
                                                   fixed_warm_iters=3 if
-                                                  args.warm_solver == "fused"
-                                                  else 0))
+                                                  args.warm_solver in
+                                                  ("fused", "fixed") else 0))
     mp = mc.params
     print(f"loaded '{mp.name}': nx={mp.num_x}, nu={mp.num_u}, N={mp.num_shooting_nodes}")
     if args.q is None:
