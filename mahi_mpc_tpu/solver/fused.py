@@ -89,11 +89,16 @@ SUB, LANES = 8, 128    # default tile: 1024 instances per grid step
 # Default line-search fans.  The fixed-mode fan matches solve_fixed's
 # LS_FAN (solver/fixed.py) including the 0.0625 rung (round-4 ADVICE: the
 # shallower (1, .5, .25) fan could stall an iterate that the other solvers
-# would still move).  The adaptive-mode fan reaches deeper because cold
-# continuation occasionally needs short steps; the reg ladder is the
-# backstop below 1/256.
+# would still move).  The adaptive-mode fan reaches down to ~2.4e-4 — the
+# depth of the lanes solver's 12-halving backtracking — because hard cold
+# starts (state-bound-hugging references) need heavily damped steps; a fan
+# bottoming at 1/256 stalled 5/8 instances into the reg-ladder divergence
+# on the config-7-style cold test while the lanes solver converged them.
+# Each rung costs one trial stage-cost+dynamics pass (~5%); adaptive mode
+# is the robustness/cold shape, so depth wins over the few percent.
 LS_FAN_FIXED = (1.0, 0.5, 0.25, 0.0625)
-LS_FAN_ADAPTIVE = (1.0, 0.5, 0.25, 0.0625, 0.00390625)
+LS_FAN_ADAPTIVE = (1.0, 0.5, 0.25, 0.0625, 0.015625, 0.00390625,
+                   0.0009765625, 0.000244140625)
 
 # VMEM budget for tile auto-selection: the compiler limit is 100 MiB
 # (compiler_params below); leave headroom for Mosaic's own temporaries.
@@ -731,18 +736,33 @@ def _make_kernel(prob: ShootingProblem, opts: SolverOptions, n_iter: int,
                 live = done0 < 0.5
                 alpha = jnp.where(live, alpha, 0.0)
 
+            # Guard the no-move case explicitly: with alpha = 0 the update
+            # must be exactly X (a rejected step direction can contain
+            # inf/NaN from a blown-up Riccati pass, and 0 * inf = NaN
+            # would corrupt the iterate the lanes solver protects with its
+            # `bad` mask).  alpha > 0 implies the trial merit was finite,
+            # which implies the stepped iterate is finite.
             ab = alpha[None, None]
-            X_r[...] = X_r[...] + ab * dX_s[...]
-            U_r[...] = U_r[...] + ab * dU_s[...]
+            X_r[...] = jnp.where(ab > 0, X_r[...] + ab * dX_s[...], X_r[...])
+            U_r[...] = jnp.where(ab > 0, U_r[...] + ab * dU_s[...], U_r[...])
 
             if not adaptive:
                 return (mu, reg, nu_pen, done0, iters, stepn, feas, jref,
                         alpha)
 
             # ---- adaptive bookkeeping (loop_common policies, elementwise) --
+            # Documented deviation from the lanes reg policy: accepting
+            # only a *deep* fan rung (alpha < 1% of the fraction-to-
+            # boundary cap) also grows reg.  The deep rungs exist so hard
+            # bound-hugging iterates keep moving (the lanes 12-halving
+            # search reaches the same depths), but treating such crawl
+            # steps as progress let instances burn the iteration budget at
+            # reg floor — N=50/100 cold converged_frac dropped 0.996 ->
+            # 0.90 when the fan deepened without this coupling.
             no_move = (alpha == 0.0) | ~jnp.isfinite(alpha)
+            crawl = no_move | (alpha < 0.01 * amax)
             reg_new = jnp.where(
-                no_move,
+                crawl,
                 jnp.minimum(reg * lc.REG_GROW + lc.REG_GROW_ABS,
                             lc.REG_DIVERGED),
                 jnp.maximum(reg * lc.REG_SHRINK, lc.REG_MIN))

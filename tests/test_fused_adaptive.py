@@ -264,3 +264,47 @@ def test_kkt_auto_resolution_vmem_aware():
     from mahi_mpc_tpu.solver.pallas_riccati import pallas_kkt_fits
     assert pallas_kkt_fits(25, 12, 4)
     assert not pallas_kkt_fits(100, 12, 4)
+
+
+@pytest.mark.slow
+def test_adaptive_cold_state_bounds():
+    """Cold adaptive continuation with active state bounds (config-7 shape):
+    the in-kernel barrier must handle x-bound centering, not just u-bounds."""
+    dyn = make_dynamics("mahi_arm")
+    mp = ModelParameters("t", num_x=dyn.nx, num_u=dyn.nu, step_size=0.002,
+                         num_shooting_nodes=8, dynamics_name="mahi_arm",
+                         u_min=[-20.0] * 4, u_max=[20.0] * 4,
+                         x_min=[-2.0] * 4 + [-1.5] * 4,
+                         x_max=[2.0] * 4 + [1.5] * 4)
+    prob = make_problem(mp, dyn)
+    opts = SolverOptions(tol=1e-4, max_iter=30, dtype="float32")
+    dtype = jnp.float32
+    rng = np.random.default_rng(7)
+    p = default_params(mp, dtype=dtype)
+    p = p._replace(q=jnp.asarray([10.0] * 4 + [1.0] * 4, dtype),
+                   r=jnp.full((4,), 0.1, dtype),
+                   rm=jnp.full((4,), 0.01, dtype))
+    B = 8
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), p)
+    pb = pb._replace(
+        x0=jnp.asarray(0.2 * rng.standard_normal((B, prob.nx)), dtype),
+        x_des=jnp.asarray(
+            1.2 * rng.standard_normal((B, prob.N, prob.nx)), dtype))
+    mu_cold = jnp.asarray(opts.mu_init, dtype)
+    rl = solve_batch_lanes(prob, pb, None, None, opts, mu0=mu_cold)
+    rf = solve_batch_fused(prob, pb, None, None, opts, mu0=mu_cold,
+                           adaptive=True, tile=TILE, interpret=True)
+    # This cold regime is hard (references outside the feasible box): the
+    # deep adaptive fan must converge at least as many instances as the
+    # lanes solver's 12-halving backtracking (a shallower fan stalled 5/8
+    # into the reg ladder), and co-converged instances must agree.
+    assert bool(jnp.all(rf.status == 0)), np.asarray(rf.status)
+    both = (rf.status == 0) & (rl.status == 0)
+    du = jnp.where(both[:, None, None], jnp.abs(rf.U - rl.U), 0.0)
+    # Near-active constraints amplify solution sensitivity: two
+    # to-tolerance (1e-4 step norm) solvers legitimately land ~1e-2 apart
+    # in U here; warm parity tests are the tight pins.
+    assert float(jnp.max(du)) < 2e-2, float(jnp.max(du))
+    # Bounds respected (strictly interior thanks to the barrier).
+    assert float(jnp.max(rf.X[:, 1:, :4])) <= 2.0
+    assert float(jnp.min(rf.X[:, 1:, :4])) >= -2.0
